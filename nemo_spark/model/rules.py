@@ -1,0 +1,171 @@
+"""Rules-as-data: the logical layer of the engine.
+
+Mirrors nemo's rule model (reference: ``nemo/src/rule_model/components/``) —
+predicates are named n-ary relations (name + arity only, per
+``nemo/src/table_manager.rs:468``), rules have positive body atoms, negated
+atoms, filters, assignments (computed columns), and at most one aggregate in
+the head (``nemo/src/execution/planning/normalization/rule.rs:44-70``).
+
+There is no text parser here: programs are constructed programmatically
+(the Spark-first analogue of nemo's Python API,
+``nemo-python/src/lib.rs:60-72``).
+
+Expressions (filters / assignments) are callables ``cols -> Column`` where
+``cols`` maps variable names to Spark Columns. Use ``nemo_spark.functions``
+for nemo-semantics operations (error => row dropped).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+
+ColMap = dict[str, Column]
+ExprFn = Callable[[ColMap], Column]
+
+
+@dataclass(frozen=True)
+class Var:
+    """A rule variable (nemo: ``?X``)."""
+
+    name: str
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"?{self.name}"
+
+
+# A term is a Var, an Aggregate (head only), or a Python literal constant.
+Term = Any
+
+
+@dataclass(frozen=True)
+class Aggregate:
+    """Head aggregate, nemo syntax ``#op(?Var; ?Distinct...)``.
+
+    Semantics (``nemo-physical/src/tabular/operations/aggregate.rs:21-32``):
+    operates on the SET of distinct (group-by + distinct + aggregated) bindings.
+    """
+
+    op: str  # 'min' | 'max' | 'sum' | 'count'
+    var: Var
+    distinct: tuple[Var, ...] = ()
+
+    def __post_init__(self) -> None:
+        if self.op not in ("min", "max", "sum", "count"):
+            raise ValueError(f"unsupported aggregate: {self.op}")
+
+
+class agg:
+    """Constructors: ``agg.min(X)``, ``agg.count(Z, distinct=[Y])``."""
+
+    @staticmethod
+    def min(var: Var, distinct: tuple[Var, ...] | list[Var] = ()) -> Aggregate:
+        return Aggregate("min", var, tuple(distinct))
+
+    @staticmethod
+    def max(var: Var, distinct: tuple[Var, ...] | list[Var] = ()) -> Aggregate:
+        return Aggregate("max", var, tuple(distinct))
+
+    @staticmethod
+    def sum(var: Var, distinct: tuple[Var, ...] | list[Var] = ()) -> Aggregate:
+        return Aggregate("sum", var, tuple(distinct))
+
+    @staticmethod
+    def count(var: Var, distinct: tuple[Var, ...] | list[Var] = ()) -> Aggregate:
+        return Aggregate("count", var, tuple(distinct))
+
+
+@dataclass(frozen=True)
+class Atom:
+    """``pred(t1, ..., tn)`` — terms are Vars, constants, or (head) Aggregates."""
+
+    pred: str
+    terms: tuple[Term, ...]
+
+    def __init__(self, pred: str, *terms: Term) -> None:
+        object.__setattr__(self, "pred", pred)
+        object.__setattr__(self, "terms", tuple(terms))
+
+    @property
+    def arity(self) -> int:
+        return len(self.terms)
+
+    def variables(self) -> list[Var]:
+        return [t for t in self.terms if isinstance(t, Var)]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{self.pred}({', '.join(map(repr, self.terms))})"
+
+
+@dataclass
+class Rule:
+    """``head :- body, ~negated, filters, assignments``.
+
+    Safety: every head variable must occur in a positive body atom or be
+    defined by an assignment; every negated-atom variable must be bound
+    positively (checked at evaluation time).
+    """
+
+    head: Atom
+    body: list[Atom]
+    negated: list[Atom] = field(default_factory=list)
+    # filters: cols -> BooleanColumn; null-valued results drop the row
+    filters: list[ExprFn] = field(default_factory=list)
+    # assignments: ordered (new_var_name, cols -> Column); null result drops
+    # the row (nemo: evaluation error == no result,
+    # nemo-physical/src/function/definitions/numeric/integer64.rs)
+    assignments: list[tuple[str, ExprFn]] = field(default_factory=list)
+    name: str | None = None
+
+    def head_aggregate(self) -> Aggregate | None:
+        aggs = [t for t in self.head.terms if isinstance(t, Aggregate)]
+        if len(aggs) > 1:
+            raise ValueError("at most one aggregate per rule (nemo semantics)")
+        return aggs[0] if aggs else None
+
+    def body_predicates(self) -> set[str]:
+        return {a.pred for a in self.body}
+
+    def negated_predicates(self) -> set[str]:
+        return {a.pred for a in self.negated}
+
+    def label(self, idx: int) -> str:
+        return self.name or f"rule_{idx}"
+
+
+@dataclass
+class Program:
+    """A set of rules + inline facts (EDB tables are registered on the engine).
+
+    ``outputs`` limits materialization like nemo's ``@output`` /
+    active-rule filtering (``rule_model/pipeline/transformations/active.rs``);
+    empty = materialize everything.
+    """
+
+    rules: list[Rule]
+    facts: dict[str, list[tuple]] = field(default_factory=dict)
+    outputs: list[str] = field(default_factory=list)
+
+    def predicates(self) -> dict[str, int]:
+        """predicate -> arity, from all atoms and facts; arity conflicts raise."""
+        seen: dict[str, int] = {}
+
+        def visit(pred: str, arity: int) -> None:
+            if pred in seen and seen[pred] != arity:
+                raise ValueError(f"arity conflict for {pred}: {seen[pred]} vs {arity}")
+            seen[pred] = arity
+
+        for r in self.rules:
+            visit(r.head.pred, r.head.arity)
+            for a in r.body + r.negated:
+                visit(a.pred, a.arity)
+        for p, rows in self.facts.items():
+            if rows:
+                visit(p, len(rows[0]))
+        return seen
+
+    def idb_predicates(self) -> set[str]:
+        return {r.head.pred for r in self.rules}

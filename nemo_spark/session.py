@@ -1,0 +1,55 @@
+"""SparkSession construction tuned for the fixpoint / KG workload.
+
+Scale rationale (100 TB / 1000-executor design, tested on local[N]):
+- AQE on: runtime coalescing + skew-join splitting replaces nemo's
+  hand-tuned column orders (`nemo-physical/src/management/database/order.rs`).
+- shuffle partitions sized by parallelism; at cluster scale this is set to
+  2-3x total cores via spark-submit conf, not hardcoded.
+- Arrow enabled for the pandas-UDF extraction path (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "nemo_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cores = _parallelism_of(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _parallelism_of(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

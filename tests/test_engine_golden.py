@@ -1,0 +1,162 @@
+"""Engine parity vs the reference's own golden testcases.
+
+Each test re-expresses a ``.rls`` program from
+``/root/reference/resources/testcases`` in our rule API and compares against
+the checked-in expected CSVs, order-insensitively — exactly the reference's
+blackbox harness contract (``nemo-cli/tests/blackbox_integration.rs:107-133``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var, agg
+from tests.golden import assert_golden, load_csv_facts, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available, reason="reference testcases not present")
+
+X, Y, Z, W, T, P = Var("X"), Var("Y"), Var("Z"), Var("W"), Var("T"), Var("P")
+
+
+def test_basic_join(spark):
+    # testcases/basic/join.rls
+    eng = SemiNaiveEngine(spark)
+    eng.register("sourceA", load_csv_facts(spark, "basic/sources/dataA.csv", 3))
+    eng.register("sourceB", load_csv_facts(spark, "basic/sources/dataB.csv", 3))
+    eng.register("sourceC", load_csv_facts(spark, "basic/sources/dataC.csv", 3))
+    prog = Program(
+        rules=[
+            Rule(Atom("J1", X, Y, Z), [Atom("sourceA", X, Z, Y), Atom("sourceB", X, Y, T)]),
+            Rule(Atom("J2", X, Y, Z), [Atom("sourceA", Z, Y, X), Atom("sourceC", X, Y, T)]),
+            Rule(Atom("J3", X, Y, W), [Atom("sourceA", T, Y, X), Atom("sourceB", T, Y, X), Atom("sourceC", X, Y, W)]),
+        ]
+    )
+    eng.run(prog)
+    assert_golden(eng.table("J1"), "basic/join/J1.csv")
+    assert_golden(eng.table("J2"), "basic/join/J2.csv")
+    assert_golden(eng.table("J3"), "basic/join/J3.csv")
+
+
+def test_basic_union(spark):
+    # testcases/basic/union.rls
+    eng = SemiNaiveEngine(spark)
+    eng.register("sourceA", load_csv_facts(spark, "basic/sources/dataA.csv", 3))
+    eng.register("sourceB", load_csv_facts(spark, "basic/sources/dataB.csv", 3))
+    eng.register("sourceC", load_csv_facts(spark, "basic/sources/dataC.csv", 3))
+    rules = [
+        Rule(Atom("ABC", X, Y, Z), [Atom("sourceA", X, Y, Z)]),
+        Rule(Atom("ABC", X, Y, Z), [Atom("sourceB", X, Y, Z)]),
+        Rule(Atom("ABC", X, Y, Z), [Atom("sourceC", X, Y, Z)]),
+        Rule(Atom("AB", X, Y, Z), [Atom("sourceA", X, Y, Z)]),
+        Rule(Atom("AB", X, Y, Z), [Atom("sourceB", X, Y, Z)]),
+    ]
+    eng.run(Program(rules))
+    assert_golden(eng.table("AB"), "basic/union/AB.csv")
+    assert_golden(eng.table("ABC"), "basic/union/ABC.csv")
+
+
+def test_basic_projection(spark):
+    # testcases/basic/projection.rls — chained IDB projections
+    eng = SemiNaiveEngine(spark)
+    eng.register("data", load_csv_facts(spark, "basic/sources/data.csv", 3))
+    V = Var("VariableThatIsNotNeeded")
+    rules = [
+        Rule(Atom("A", X, Z), [Atom("data", X, Y, Z)]),
+        Rule(Atom("B", Y, X), [Atom("A", X, Y)]),
+        Rule(Atom("C", Y), [Atom("B", V, Y)]),
+        Rule(Atom("D", Y, Z), [Atom("data", X, Y, Z)]),
+        Rule(Atom("E", Var("F"), Var("E")), [Atom("D", Var("E"), Var("F"))]),
+    ]
+    eng.run(Program(rules))
+    for p in ["A", "B", "C", "D", "E"]:
+        assert_golden(eng.table(p), f"basic/projection/{p}.csv")
+
+
+def test_basic_negation(spark):
+    # testcases/basic/negation.rls — negation with constants, repeats, projection
+    eng = SemiNaiveEngine(spark)
+    eng.register("main", load_csv_facts(spark, "basic/sources/main.csv", 3))
+    eng.register("s1", load_csv_facts(spark, "basic/sources/S1.csv", 1))
+    eng.register("s2", load_csv_facts(spark, "basic/sources/S2.csv", 2))
+    eng.register("s3", load_csv_facts(spark, "basic/sources/S3.csv", 3))
+    m = [Atom("main", X, Y, Z)]
+    rules = [
+        Rule(Atom("singlePositionX", X, Y, Z), m, negated=[Atom("s1", X)]),
+        Rule(Atom("singlePositionY", X, Y, Z), m, negated=[Atom("s1", Y)]),
+        Rule(Atom("singlePositionZ", X, Y, Z), m, negated=[Atom("s1", Z)]),
+        Rule(Atom("multiple", X, Y, Z), m, negated=[Atom("s1", X), Atom("s2", X, Y), Atom("s2", X, Z), Atom("s2", Y, Z)]),
+        Rule(Atom("reordered", X, Y, Z), m, negated=[Atom("s2", Z, Y)]),
+        Rule(Atom("filteredX", X, Y, Z), m, negated=[Atom("s3", X, "5", X)]),
+        Rule(Atom("filteredY", X, Y, Z), m, negated=[Atom("s3", "4", Y, Y)]),
+        Rule(Atom("filteredZ", X, Y, Z), m, negated=[Atom("s3", Z, Z, "7")]),
+        Rule(Atom("projectedXY", X, Y), m, negated=[Atom("s3", X, "5", P)]),
+        Rule(Atom("projectedYZ", Y, Z), m, negated=[Atom("s3", P, Z, Y)]),
+        Rule(Atom("projectedXZ", X, Z), m, negated=[Atom("s3", X, Z, P)]),
+        Rule(Atom("projectedX", X, Y, Z), m, negated=[Atom("s3", X, P, P)]),
+        Rule(Atom("projectedY", X, Y, Z), m, negated=[Atom("s3", P, P, Y)]),
+        Rule(Atom("projectedZ", X, Y, Z), m, negated=[Atom("s3", P, Z, P)]),
+    ]
+    eng.run(Program(rules))
+    for r in rules:
+        p = r.head.pred
+        assert_golden(eng.table(p), f"basic/negation/{p}.csv")
+
+
+def test_basic_assignment(spark):
+    # testcases/basic/assignment.rls — arithmetic assignments, inline facts
+    eng = SemiNaiveEngine(spark)
+    R, S, Q = Var("R"), Var("S"), Var("Q")
+    prog = Program(
+        rules=[
+            Rule(
+                Atom("r", R, 5, R, S, Q),
+                [Atom("a", X, Y, T), Atom("b", Z, X)],
+                assignments=[
+                    ("R", lambda c: (c["X"] + F.lit(3)) * c["Z"]),
+                    ("S", lambda c: c["Y"] - F.lit(1)),
+                    ("Q", lambda c: c["R"] + c["S"]),
+                ],
+            )
+        ],
+        facts={"a": [(2, 4, 10)], "b": [(3, 2), (5, 1)]},
+    )
+    eng.run(prog)
+    assert_golden(eng.table("r"), "basic/assignment/r.csv")
+
+
+def test_aggregate_group_by(spark):
+    # testcases/aggregate/groupBy.rls — min/max/count/sum per (X, Y)
+    eng = SemiNaiveEngine(spark)
+    eng.register("sourceA", load_csv_facts(spark, "aggregate/sources/dataA.csv", 3, types="iii"))
+    rules = [
+        Rule(Atom("r0", X, Y, agg.min(Z)), [Atom("sourceA", X, Y, Z)]),
+        Rule(Atom("r1", X, Y, agg.max(Z)), [Atom("sourceA", X, Y, Z)]),
+        Rule(Atom("r2", X, Y, agg.count(Z)), [Atom("sourceA", X, Y, Z)]),
+        Rule(Atom("r3", X, Y, agg.sum(Z)), [Atom("sourceA", X, Y, Z)]),
+    ]
+    eng.run(Program(rules))
+    for i in range(4):
+        assert_golden(eng.table(f"r{i}"), f"aggregate/groupBy/r{i}.csv")
+
+
+def test_symmetric_transitive_closure(spark):
+    # testcases/regression/symmetric_transitive_closure/run.rls — the
+    # recursive fixpoint slice: symmetry + transitivity over city graph
+    eng = SemiNaiveEngine(spark)
+    eng.register("city", load_csv_facts(spark, "regression/symmetric_transitive_closure/city.csv", 1))
+    eng.register("conn", load_csv_facts(spark, "regression/symmetric_transitive_closure/conn.csv", 2))
+    XY = Var("XY")
+    prog = Program(
+        rules=[
+            Rule(Atom("connected", X, Y), [Atom("city", X), Atom("city", Y), Atom("conn", X, Y)]),
+            Rule(Atom("conn", X, Y), [Atom("conn", Y, X)]),
+            Rule(
+                Atom("connected", X, Y),
+                [Atom("city", X), Atom("city", XY), Atom("city", Y), Atom("connected", X, XY), Atom("conn", XY, Y)],
+            ),
+        ]
+    )
+    stats = eng.run(prog)
+    assert_golden(eng.table("connected"), "regression/symmetric_transitive_closure/run/connected.csv")
+    assert stats.rounds > 1  # actually iterated
