@@ -347,23 +347,22 @@ class SemiNaiveEngine:
         nemo: new := candidate \\ union(all prior subtables)
         (``planning/operations/duplicates.rs:24-46``).
         """
+        # localCheckpoint (eager) rather than persist: truncates the logical
+        # plan every round — without this, round t's plan embeds round t-1's
+        # join trees recursively and analysis cost grows exponentially.
         if pred in self._tables:
             existing = self._tables[pred]
             fresh = derived.dropDuplicates().join(
                 existing, on=list(existing.columns), how="left_anti"
-            ).persist()
+            ).localCheckpoint(eager=True)
             cnt = fresh.count()
             if cnt:
                 self._tables[pred] = existing.unionByName(fresh)
-            else:
-                fresh.unpersist()
         else:
-            fresh = derived.dropDuplicates().persist()
+            fresh = derived.dropDuplicates().localCheckpoint(eager=True)
             cnt = fresh.count()
             if cnt:
                 self._tables[pred] = fresh
-            else:
-                fresh.unpersist()
         return fresh, cnt
 
     def _checkpoint(self, pred: str, df: DataFrame, round_idx: int) -> DataFrame:

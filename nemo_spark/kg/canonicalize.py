@@ -1,0 +1,102 @@
+"""Hash-min connected components for entity canonicalization.
+
+Iterative min-label propagation over an undirected edge list, as a DataFrame
+fixpoint job — the same delta-driven kernel as the rule engine (nemo analogy:
+a recursive Datalog program ``label(x, min(l))``), but specialized because the
+aggregate-in-recursion pattern is not stratifiable; hash-min is the standard
+distributed-CC construction.
+
+Algorithm (label = lexicographic min node id reachable):
+  label0(x)   = min(x, min over neighbors y of y)
+  label_{t+1}(x) = min(label_t(x), min over neighbors y of label_t(y))
+until no label changes. Converges in O(diameter) rounds.
+
+Scale: each round is one shuffle (groupBy node); edges are repartitioned by
+src once and reused; ``localCheckpoint`` every ``checkpoint_every`` rounds
+truncates the growing plan (or a CheckpointStore persists resumable parquet
+snapshots). Skewed hub nodes are handled by AQE skew-join splitting; the
+groupBy min is a partial (map-side) aggregate so hot labels don't hotspot.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger("nemo_spark.cc")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+    checkpoint_store: Any | None = None,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Return (node, component) where component = min node id in the CC.
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    Node ids must be orderable (string or numeric).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates()
+        .repartition("a")
+        .persist()
+    )
+    # label(x) = min(x, min neighbor)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.first("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
+        .persist()
+    )
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        t0 = time.time()
+        # candidate labels via neighbors: min over label(b) for each a
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), on="b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        old = labels
+        labels = new_labels.drop("__changed")
+        if checkpoint_store is not None and rounds % checkpoint_every == 0:
+            labels = checkpoint_store.snapshot("cc_labels", labels, rounds)
+        elif rounds % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+        old.unpersist()
+        log.debug("cc round %d changed=%s %.2fs", rounds, bool(changed), time.time() - t0)
+        if not changed:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def canonical_map_from_alias_dict(alias_dict: DataFrame) -> DataFrame:
+    """CC over the bipartite (alias, entity_id) graph; returns
+    (node, canonical_id) for both alias and entity nodes. Node ids are
+    namespaced ('a:' / 'e:') so aliases and entities cannot collide."""
+    edges = alias_dict.select(
+        F.concat(F.lit("a:"), F.col("alias")).alias("src"),
+        F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"),
+    )
+    cc = connected_components(edges)
+    return cc.select(F.col("node"), F.col("component").alias("canonical_id"))
