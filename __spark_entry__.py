@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full KG pipeline (extract -> link -> canonicalize
+-> fixpoint closure) over transcripts derived from sf0.001 documents.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data-pipeline operators; every SQL oracle
+runs on DuckDB over the pre-registered parquet views.
 """
 
 from __future__ import annotations
@@ -12,27 +13,463 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, p: int = 18, s: int = 2):
+    return F.col(c).cast(f"decimal({p},{s})") if isinstance(c, str) else c.cast(f"decimal({p},{s})")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from nemo_spark.kg.pipeline import materialized_triples, run_pipeline
+    from nemo_spark.kg.transcripts import transcripts_from_documents
+
+    docs = _t(spark, SF0001, "documents")
+    res = run_pipeline(spark, transcripts_from_documents(docs))
+    return materialized_triples(res)
+
+
+# ---------------------------------------------------------- relational layer
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q1 shape: filter -> groupBy -> multi-agg (partial agg map-side).
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_customer_order_nation(spark: SparkSession, sf: str) -> DataFrame:
+    # two shuffles max: orders⋈customer on custkey; nation broadcast (dim).
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_anti_customers_no_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # negation as left_anti (nemo Subtract)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, on="c_custkey", how="left_anti").select("c_custkey", "c_name")
+
+
+def q_semi_parts_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.join(li, on="p_partkey", how="left_semi").select("p_partkey", "p_brand")
+
+
+def q_union_nationkeys(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.unionByName(s).dropDuplicates()
+
+
+def q_minmax_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_count_distinct_events(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    # nemo error-is-no-result: division by zero drops the row (try_divide -> null filter)
+    li = _t(spark, sf, "lineitem")
+    ratio = F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - F.lit(1))
+    return (
+        li.select("l_orderkey", "l_linenumber", ratio.alias("ratio"))
+        .filter(F.col("ratio").isNotNull())
+    )
+
+
+def q_string_ops(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substr(F.col("p_name"), F.lit(1), F.lit(8)).alias("prefix8"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.contains(F.col("p_name"), F.lit("a")).alias("has_a"),
+    )
+
+
+def q_filter_pushdown_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # predicate + projection pushdown to the parquet scan
+    return (
+        _t(spark, sf, "orders")
+        .filter((F.col("o_totalprice") > 150000) & (F.col("o_orderstatus") == "O"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------- datalog fixpoint layer
+
+
+def q_tc_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive closure via the semi-naive engine over a deterministic
+    nation graph (i -> (2i+3) mod 25)."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    n = _t(spark, sf, "nation")
+    edges = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        ((F.col("n_nationkey") * 2 + 3) % 25).cast("long").alias("dst"),
+    )
+    eng = SemiNaiveEngine(spark)
+    eng.register("edge", edges)
+    X, Y, Z = Var("X"), Var("Y"), Var("Z")
+    eng.run(
+        Program(
+            rules=[
+                Rule(Atom("tc", X, Y), [Atom("edge", X, Y)]),
+                Rule(Atom("tc", X, Z), [Atom("tc", X, Y), Atom("edge", Y, Z)]),
+            ]
+        )
+    )
+    return eng.table("tc").select(F.col("c0").alias("src"), F.col("c1").alias("dst"))
+
+
+def q_cc_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-min connected components over a deterministic user graph."""
+    from nemo_spark.kg.canonicalize import connected_components
+
+    u = _t(spark, sf, "events").select(F.col("user_id").cast("long").alias("a")).dropDuplicates()
+    edges = u.select(F.col("a").alias("src"), (F.col("a") % 7).alias("dst"))
+    cc = connected_components(edges)
+    return cc.select(F.col("node").cast("long").alias("node"), F.col("component").cast("long").alias("component"))
+
+
+# ------------------------------------------------------------- KG pipeline
+
+
+def _kg_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.kg.transcripts import transcripts_from_documents
+
+    return transcripts_from_documents(_t(spark, sf, "documents"))
+
+
+def q_kg_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    return _kg_transcripts(spark, sf)
+
+
+def q_kg_turns_per_conv(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _kg_transcripts(spark, sf)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("min_turn"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+    )
+
+
+def q_kg_extract(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.kg.extract import extract_triples_pandas
+
+    return extract_triples_pandas(_kg_transcripts(spark, sf))
+
+
+def q_kg_alias_dict(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.kg.transcripts import alias_dict
+
+    return alias_dict(spark)
+
+
+def q_kg_canonical_map(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.kg.canonicalize import canonical_map_from_alias_dict
+    from nemo_spark.kg.transcripts import alias_dict
+
+    return canonical_map_from_alias_dict(alias_dict(spark))
+
+
+def q_kg_triples(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.kg.pipeline import run_pipeline
+
+    return run_pipeline(spark, _kg_transcripts(spark, sf), transitive_preds=()).triples
+
+
+def q_kg_closure(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.kg.pipeline import run_pipeline
+
+    return run_pipeline(spark, _kg_transcripts(spark, sf)).closure
+
+
+def q_kg_materialized(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.kg.pipeline import materialized_triples, run_pipeline
+
+    return materialized_triples(run_pipeline(spark, _kg_transcripts(spark, sf)))
+
+
+# ---------------------------------------------------- training-data operators
+
+
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.text import token_counts
+
+    return token_counts(_t(spark, sf, "documents")).select("doc_id", "n_tokens", "n_distinct_tokens")
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.text import quality_features
+
+    return quality_features(_t(spark, sf, "documents")).select(
+        "doc_id", "n_chars_actual", "n_dots", "n_tokens", "n_stopwords", "stopword_ratio"
+    )
+
+
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.text import langid_heuristic
+
+    return langid_heuristic(_t(spark, sf, "documents")).select("doc_id", "lang", "en_score", "pred_lang")
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf, "documents"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.dedup import minhash_bands
+
+    return minhash_bands(_t(spark, sf, "documents"))
+
+
+def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    top = brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+    return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
+# ------------------------------------------------------------------ registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "join_customer_order_nation": q_join_customer_order_nation,
+        "anti_customers_no_orders": q_anti_customers_no_orders,
+        "semi_parts_ordered": q_semi_parts_ordered,
+        "union_nationkeys": q_union_nationkeys,
+        "minmax_orders": q_minmax_orders,
+        "count_distinct_events": q_count_distinct_events,
+        "try_arithmetic": q_try_arithmetic,
+        "string_ops": q_string_ops,
+        "filter_pushdown_orders": q_filter_pushdown_orders,
+        "tc_nations": q_tc_nations,
+        "cc_users": q_cc_users,
+        "kg_transcripts": q_kg_transcripts,
+        "kg_turns_per_conv": q_kg_turns_per_conv,
+        "kg_extract": q_kg_extract,
+        "kg_alias_dict": q_kg_alias_dict,
+        "kg_canonical_map": q_kg_canonical_map,
+        "kg_triples": q_kg_triples,
+        "kg_closure": q_kg_closure,
+        "kg_materialized": q_kg_materialized,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "knn_cosine": q_knn_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nemo_spark.kg import oracles as KG
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_customer_order_nation": """
+            SELECT n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "anti_customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "semi_parts_ordered": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "union_nationkeys": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            UNION
+            SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        """,
+        "minmax_orders": """
+            SELECT o_orderpriority, MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "count_distinct_events": """
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "try_arithmetic": """
+            SELECT l_orderkey, l_linenumber, l_quantity / (l_linenumber - 1) AS ratio
+            FROM lineitem WHERE l_linenumber <> 1
+        """,
+        "string_ops": """
+            SELECT p_partkey, UPPER(p_name) AS name_upper,
+                   CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+                   SUBSTR(p_name, 1, 8) AS prefix8,
+                   p_brand || ':' || p_type AS brand_type,
+                   CONTAINS(p_name, 'a') AS has_a
+            FROM part
+        """,
+        "filter_pushdown_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+        """,
+        "tc_nations": """
+            WITH RECURSIVE e AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS s, CAST((n_nationkey*2+3) % 25 AS BIGINT) AS o FROM nation
+            ),
+            c(s, o) AS (SELECT s, o FROM e UNION SELECT c.s, e.o FROM c JOIN e ON c.o = e.s)
+            SELECT s AS src, o AS dst FROM c
+        """,
+        "cc_users": """
+            WITH RECURSIVE u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS a FROM events),
+            e0 AS (SELECT a, a % 7 AS b FROM u),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            reach(a, b) AS (SELECT a, a FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+        """,
+        "kg_transcripts": KG.KG_TRANSCRIPTS,
+        "kg_turns_per_conv": KG.KG_TURNS_PER_CONV,
+        "kg_extract": KG.KG_EXTRACT,
+        "kg_alias_dict": KG.KG_ALIAS_DICT,
+        "kg_canonical_map": KG.KG_CANONICAL_MAP,
+        "kg_triples": KG.KG_TRIPLES,
+        "kg_closure": KG.KG_CLOSURE,
+        "kg_materialized": KG.KG_MATERIALIZED,
+        "text_tokens": """
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS BIGINT) AS n_dots,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS n_stopwords,
+                   CASE WHEN len(string_split(text, ' ')) > 0
+                        THEN CAST(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                        ELSE 0.0 END AS stopword_ratio
+            FROM documents
+        """,
+        "text_langid": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) AS en_score
+              FROM documents
+            )
+            SELECT doc_id, lang, en_score,
+                   CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+            FROM s
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash": _DEDUP_MINHASH_SQL,
+        "knn_cosine": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS score
+              FROM embeddings WHERE vec_id <> 0
+            )
+            SELECT vec_id, ROUND(score, 6) AS score
+            FROM scored ORDER BY score DESC, vec_id LIMIT 10
+        """,
+    }
+
+
+_DEDUP_MINHASH_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(range(1, len(t) - 1),
+              i -> list_extract(t, i) || ' ' || list_extract(t, i + 1) || ' ' || list_extract(t, i + 2)))
+         ELSE [] END AS s
+  FROM toks
+)
+SELECT doc_id,
+       list_aggregate(list_transform(s, x -> md5('b0|' || x)), 'min') AS band0,
+       list_aggregate(list_transform(s, x -> md5('b1|' || x)), 'min') AS band1,
+       list_aggregate(list_transform(s, x -> md5('b2|' || x)), 'min') AS band2,
+       list_aggregate(list_transform(s, x -> md5('b3|' || x)), 'min') AS band3
+FROM sh
+"""

@@ -1,0 +1,116 @@
+"""DuckDB oracle SQL for the KG pipeline stages over the ``documents`` view.
+
+Each constant mirrors one Spark-side stage 1:1 (same column names, same
+values), composed from the shared CTE pieces in
+:mod:`nemo_spark.kg.transcripts`. Recursive CTEs stand in for our iterative
+fixpoint jobs (hash-min CC, transitive closure) — tractable because the
+correctness corpus is small; at scale only the Spark side runs.
+"""
+
+from __future__ import annotations
+
+from nemo_spark.kg.extract import TRIPLE_RE
+from nemo_spark.kg.transcripts import ALIAS_DICT_CTES, ALIAS_DICT_SQL, TRANSCRIPTS_SQL
+
+# ---------------------------------------------------------------- transcripts
+
+KG_TRANSCRIPTS = TRANSCRIPTS_SQL
+
+KG_TURNS_PER_CONV = f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(turn_idx) AS INTEGER) AS min_turn,
+       CAST(max(turn_idx) AS INTEGER) AS max_turn
+FROM ({TRANSCRIPTS_SQL})
+GROUP BY conv_id
+"""
+
+# ------------------------------------------------------------------ extract
+
+KG_EXTRACT = f"""
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '{TRIPLE_RE}', 1) AS subj_alias,
+       regexp_extract(text, '{TRIPLE_RE}', 2) AS pred,
+       regexp_extract(text, '{TRIPLE_RE}', 3) AS obj_alias
+FROM ({TRANSCRIPTS_SQL})
+WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
+"""
+
+# ---------------------------------------------------------------- alias dict
+
+KG_ALIAS_DICT = ALIAS_DICT_SQL
+
+# --------------------------------------------------------- canonicalization
+
+_CANON_CTES = f"""
+{ALIAS_DICT_CTES},
+edges AS (
+  SELECT 'a:' || alias AS src, 'e:' || entity_id AS dst FROM ad
+  UNION
+  SELECT 'e:' || entity_id AS src, 'a:' || alias AS dst FROM ad
+),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+canon AS (SELECT a AS node, min(b) AS canonical_id FROM reach GROUP BY a)
+"""
+
+KG_CANONICAL_MAP = f"""
+WITH RECURSIVE
+{_CANON_CTES}
+SELECT node, canonical_id FROM canon
+"""
+
+# ------------------------------------------------------------------- triples
+
+_TRIPLES_CTES = f"""
+{_CANON_CTES},
+tr AS ({TRANSCRIPTS_SQL}),
+ext AS (
+  SELECT regexp_extract(text, '{TRIPLE_RE}', 1) AS subj_alias,
+         regexp_extract(text, '{TRIPLE_RE}', 2) AS pred,
+         regexp_extract(text, '{TRIPLE_RE}', 3) AS obj_alias
+  FROM tr
+  WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
+),
+triples AS (
+  SELECT DISTINCT cs.canonical_id AS subj, ext.pred AS pred, co.canonical_id AS obj
+  FROM ext
+  JOIN canon cs ON cs.node = 'a:' || ext.subj_alias
+  JOIN canon co ON co.node = 'a:' || ext.obj_alias
+)
+"""
+
+KG_TRIPLES = f"""
+WITH RECURSIVE
+{_TRIPLES_CTES}
+SELECT subj, pred, obj FROM triples
+"""
+
+KG_CLOSURE = f"""
+WITH RECURSIVE
+{_TRIPLES_CTES},
+base AS (SELECT DISTINCT subj AS s, obj AS o FROM triples WHERE pred = 'located_in'),
+clos(s, o) AS (
+  SELECT s, o FROM base
+  UNION
+  SELECT c.s, b.o FROM clos c JOIN base b ON c.o = b.s
+)
+SELECT s AS subj, 'located_in' AS pred, o AS obj FROM clos
+"""
+
+KG_MATERIALIZED = f"""
+WITH RECURSIVE
+{_TRIPLES_CTES},
+base AS (SELECT DISTINCT subj AS s, obj AS o FROM triples WHERE pred = 'located_in'),
+clos(s, o) AS (
+  SELECT s, o FROM base
+  UNION
+  SELECT c.s, b.o FROM clos c JOIN base b ON c.o = b.s
+)
+SELECT subj, pred, obj FROM triples
+UNION
+SELECT s AS subj, 'located_in' AS pred, o AS obj FROM clos
+"""

