@@ -45,34 +45,41 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def token_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles as array<string> (empty when < k tokens —
-    guards ANSI out-of-bounds element_at)."""
+    """Distinct k-token shingles as array<string> (empty when < k tokens).
+
+    Built with slice + zip_with, NOT element_at inside a transform lambda:
+    an expression referenced inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT, so the naive form re-splits the text O(n*k)
+    times per row (observed 20x slowdown). Here split() runs ~k times/row."""
     toks = tokens(text)
-    n = F.size(toks)
-    shingle = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])  # noqa: E731
-    return F.when(
-        n >= k, F.array_distinct(F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle))
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))  # number of shingles
+    out = F.slice(toks, F.lit(1), m)
+    for j in range(1, k):
+        out = F.zip_with(
+            F.slice(toks, F.lit(1 + j), m), out, lambda nxt, acc: F.concat(acc, F.lit(" "), nxt)
+        )
+    return F.array_distinct(out)
 
 
-def minhash_signature(text: Column, bands: int = 4, k: int = 3) -> list[Column]:
-    """One MinHash value per band: min over shingles of md5(band_salt|shingle).
+def _band_min(shingles: Column, b: int) -> Column:
+    """MinHash for one band: min over shingles of md5(band_salt|shingle).
 
     String-min over hex digests == numeric min over the 128-bit hash —
     portable to any engine with md5."""
-    sh = token_shingles(text, k)
-
-    def salted(b: int):
-        prefix = f"b{b}|"
-        # single-parameter lambda: pyspark passes (element, index) to
-        # two-parameter callables, which would corrupt a default-arg capture
-        return lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "UTF-8"))
-
-    return [F.array_min(F.transform(sh, salted(b))).alias(f"band{b}") for b in range(bands)]
+    prefix = f"b{b}|"
+    # single-parameter lambda: pyspark passes (element, index) to
+    # two-parameter callables, which would corrupt a default-arg capture
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "UTF-8")))
+    ).alias(f"band{b}")
 
 
-def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4) -> DataFrame:
-    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), bands=bands))
+def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4, k: int = 3) -> DataFrame:
+    # materialize the shingle array in its own projection FIRST: inlining it
+    # into every band expression would re-split the text per element access
+    # (observed 20x slowdown)
+    sh = df.select(F.col(id_col), token_shingles(F.col(text_col), k).alias("__sh"))
+    return sh.select(F.col(id_col), *[_band_min(F.col("__sh"), b) for b in range(bands)])
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4) -> DataFrame:
@@ -107,28 +114,39 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def simhash64(text: Column, k: int = 1) -> Column:
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 1) -> DataFrame:
     """64-bit SimHash over token k-grams (k=1: tokens), pure Catalyst.
 
-    Per bit i: majority of shingle-hash bit i. Computed via an aggregate over
-    the shingle array: sum per bit of (+1/-1), then sign -> bit."""
-    sh = token_shingles(text, k) if k > 1 else F.array_distinct(tokens(text))
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    Per bit i: majority of shingle-hash bit i — aggregate the hash array once
+    into 64 vote counters packed via explode-free per-bit aggregates. Each
+    intermediate (tokens -> hashes -> votes) is its own projection so nothing
+    is re-evaluated per reference."""
+    sh = token_shingles(F.col(text_col), k) if k > 1 else F.array_distinct(tokens(F.col(text_col)))
+    hdf = df.select(F.col(id_col), F.transform(sh, lambda s: F.xxhash64(s)).alias("__h"))
+
+    def _signed64(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
     def vote(i: int):
-        mask = 1 << i
+        mask = _signed64(1 << i)  # bit 63 is the sign bit in i64
         return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
 
-    bit_votes = [F.aggregate(hashes, F.lit(0).cast("long"), vote(i)) for i in range(64)]
+    vdf = hdf.select(
+        F.col(id_col),
+        *[F.aggregate(F.col("__h"), F.lit(0).cast("long"), vote(i)).alias(f"__v{i}") for i in range(64)],
+    )
     out = F.lit(0).cast("long")
-    for i, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    for i in range(64):
+        out = out + F.when(F.col(f"__v{i}") > 0, F.lit(_signed64(1 << i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return vdf.select(F.col(id_col), out.alias("simhash"))
 
 
 def simhash_dedup_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Candidate pairs with identical SimHash (cheap first pass; at scale,
     rotate-and-bucket for Hamming distance <= d)."""
-    s = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    s = simhash64(df, id_col, text_col)
     a = s.select(F.col(id_col).alias("a"), "simhash")
     b = s.select(F.col(id_col).alias("b"), "simhash")
     return a.join(b, on="simhash").filter(F.col("a") < F.col("b")).select("a", "b", "simhash")
