@@ -214,6 +214,36 @@ def q_kg_extract(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples_pandas(_kg_transcripts(spark, sf))
 
 
+def q_kg_mentions(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.kg.extract import extract_mentions_pandas
+
+    return extract_mentions_pandas(_kg_transcripts(spark, sf))
+
+
+def q_kg_linked(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.kg.extract import extract_triples_pandas
+    from nemo_spark.kg.link import link_exact
+    from nemo_spark.kg.transcripts import alias_dict
+
+    ext = extract_triples_pandas(_kg_transcripts(spark, sf)).select("conv_id", "turn_idx", "subj_alias")
+    return link_exact(ext, alias_dict(spark), mention_col="subj_alias")
+
+
+def q_kg_link_scored(spark: SparkSession, sf: str) -> DataFrame:
+    # fuzzy Jaccard candidates (no SQL oracle: covered by pytest ground truth)
+    from nemo_spark.kg.extract import extract_triples_pandas
+    from nemo_spark.kg.link import best_candidate, link_scored
+    from nemo_spark.kg.transcripts import alias_dict
+
+    m = (
+        extract_triples_pandas(_kg_transcripts(spark, sf))
+        .select(F.col("subj_alias").alias("mention"))
+        .dropDuplicates()
+    )
+    scored = link_scored(m, alias_dict(spark), min_score=0.5)
+    return best_candidate(scored, ["mention"])
+
+
 def q_kg_alias_dict(spark: SparkSession, sf: str) -> DataFrame:
     from nemo_spark.kg.transcripts import alias_dict
 
@@ -280,6 +310,46 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_bands(_t(spark, sf, "documents"))
 
 
+def q_dedup_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf, "documents"))
+
+
+def q_dedup_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.dedup import jaccard_verify, lsh_candidate_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    return jaccard_verify(pairs, docs, threshold=0.5).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    # no SQL oracle (xxhash64 is Spark-specific); driver rows-only check,
+    # semantics covered by pytest
+    from nemo_spark.ops.dedup import simhash64
+
+    return simhash64(_t(spark, sf, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.text import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fp_md5")
+
+
+def q_knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    # ANN path (rows-only: recall property covered by pytest)
+    from nemo_spark.ops.similarity import bucketed_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    top = bucketed_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+    return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
     from nemo_spark.ops.similarity import brute_force_topk
 
@@ -309,6 +379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transcripts": q_kg_transcripts,
         "kg_turns_per_conv": q_kg_turns_per_conv,
         "kg_extract": q_kg_extract,
+        "kg_mentions": q_kg_mentions,
+        "kg_linked": q_kg_linked,
+        "kg_link_scored": q_kg_link_scored,
         "kg_alias_dict": q_kg_alias_dict,
         "kg_canonical_map": q_kg_canonical_map,
         "kg_triples": q_kg_triples,
@@ -319,7 +392,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_jaccard_verify": q_dedup_jaccard_verify,
+        "dedup_simhash": q_dedup_simhash,
+        "text_fingerprint": q_text_fingerprint,
         "knn_cosine": q_knn_cosine,
+        "knn_bucketed": q_knn_bucketed,
     }
 
 
@@ -401,6 +479,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_transcripts": KG.KG_TRANSCRIPTS,
         "kg_turns_per_conv": KG.KG_TURNS_PER_CONV,
         "kg_extract": KG.KG_EXTRACT,
+        "kg_mentions": KG.KG_MENTIONS,
+        "kg_linked": KG.KG_LINKED,
         "kg_alias_dict": KG.KG_ALIAS_DICT,
         "kg_canonical_map": KG.KG_CANONICAL_MAP,
         "kg_triples": KG.KG_TRIPLES,
@@ -443,6 +523,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "dedup_minhash": _DEDUP_MINHASH_SQL,
+        "dedup_lsh_pairs": _DEDUP_LSH_PAIRS_SQL,
+        "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
+        "text_fingerprint": """
+            SELECT doc_id, md5(array_to_string(string_split(text, ' '), ' ')) AS fp_md5
+            FROM documents
+        """,
         "knn_cosine": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
@@ -456,8 +542,8 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-_DEDUP_MINHASH_SQL = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+_MINHASH_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(t) >= 3 THEN
@@ -465,11 +551,50 @@ sh AS (
               i -> list_extract(t, i) || ' ' || list_extract(t, i + 1) || ' ' || list_extract(t, i + 2)))
          ELSE [] END AS s
   FROM toks
+),
+mh AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(s, x -> md5('b0|' || x)), 'min') AS band0,
+         list_aggregate(list_transform(s, x -> md5('b1|' || x)), 'min') AS band1,
+         list_aggregate(list_transform(s, x -> md5('b2|' || x)), 'min') AS band2,
+         list_aggregate(list_transform(s, x -> md5('b3|' || x)), 'min') AS band3
+  FROM sh
 )
-SELECT doc_id,
-       list_aggregate(list_transform(s, x -> md5('b0|' || x)), 'min') AS band0,
-       list_aggregate(list_transform(s, x -> md5('b1|' || x)), 'min') AS band1,
-       list_aggregate(list_transform(s, x -> md5('b2|' || x)), 'min') AS band2,
-       list_aggregate(list_transform(s, x -> md5('b3|' || x)), 'min') AS band3
-FROM sh
+"""
+
+_DEDUP_MINHASH_SQL = f"WITH {_MINHASH_CTES} SELECT doc_id, band0, band1, band2, band3 FROM mh"
+
+_DEDUP_LSH_PAIRS_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT DISTINCT a, b FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b FROM mh x JOIN mh y ON x.band0 = y.band0 AND x.doc_id < y.doc_id
+  UNION ALL
+  SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band1 = y.band1 AND x.doc_id < y.doc_id
+  UNION ALL
+  SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band2 = y.band2 AND x.doc_id < y.doc_id
+  UNION ALL
+  SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band3 = y.band3 AND x.doc_id < y.doc_id
+)
+"""
+
+_DEDUP_JACCARD_SQL = f"""
+WITH {_MINHASH_CTES},
+pairs AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b FROM mh x JOIN mh y ON x.band0 = y.band0 AND x.doc_id < y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band1 = y.band1 AND x.doc_id < y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band2 = y.band2 AND x.doc_id < y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band3 = y.band3 AND x.doc_id < y.doc_id
+  )
+),
+j AS (
+  SELECT p.a, p.b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+  FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b
+)
+SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5
 """

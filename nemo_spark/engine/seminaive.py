@@ -155,12 +155,13 @@ class SemiNaiveEngine:
             self._record(stratum_idx, round_idx, rule.label(ri), cnt, time.time() - t0)
             if cnt:
                 new_any = True
+                # freshes of the same pred are disjoint (each rule's anti-join
+                # ran against the table already containing earlier freshes),
+                # so plain union + summed counts are exact — no recount job.
                 delta[rule.head.pred] = (
-                    delta[rule.head.pred].unionByName(fresh).dropDuplicates()
-                    if rule.head.pred in delta
-                    else fresh
+                    delta[rule.head.pred].unionByName(fresh) if rule.head.pred in delta else fresh
                 )
-        delta, delta_counts = self._persist_deltas(delta)
+                delta_counts[rule.head.pred] = delta_counts.get(rule.head.pred, 0) + cnt
 
         # Rounds 1..: semi-naive — only delta-reading variants of rules whose
         # body touches a predicate that changed last round.
@@ -168,6 +169,7 @@ class SemiNaiveEngine:
             round_idx += 1
             new_any = False
             next_delta: dict[str, DataFrame] = {}
+            next_counts: dict[str, int] = {}
             for ri, rule in enumerate(rules):
                 hot = [
                     i
@@ -192,29 +194,17 @@ class SemiNaiveEngine:
                 if cnt:
                     new_any = True
                     next_delta[rule.head.pred] = (
-                        next_delta[rule.head.pred].unionByName(fresh).dropDuplicates()
+                        next_delta[rule.head.pred].unionByName(fresh)
                         if rule.head.pred in next_delta
                         else fresh
                     )
-            for d in delta.values():
-                d.unpersist()
-            delta, delta_counts = self._persist_deltas(next_delta)
+                    next_counts[rule.head.pred] = next_counts.get(rule.head.pred, 0) + cnt
+            delta, delta_counts = next_delta, next_counts
             # checkpoint cadence: truncate plan lineage (nemo defrag analogue)
             if round_idx % self.checkpoint_every == 0:
                 for p in idb:
                     if p in self._tables:
                         self._tables[p] = self._checkpoint(p, self._tables[p], round_idx)
-        for d in delta.values():
-            d.unpersist()
-
-    def _persist_deltas(self, delta: dict[str, DataFrame]) -> tuple[dict[str, DataFrame], dict[str, int]]:
-        counts: dict[str, int] = {}
-        out: dict[str, DataFrame] = {}
-        for p, d in delta.items():
-            d = d.persist()
-            counts[p] = d.count()
-            out[p] = d
-        return out, counts
 
     # ------------------------------------------------------------- rule eval
 

@@ -37,12 +37,22 @@ def connected_components(
     checkpoint_every: int = 4,
     checkpoint_store: Any | None = None,
     max_rounds: int = 60,
+    small_graph_threshold: int = 0,
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the CC.
 
     ``edges`` is undirected input (each pair listed once is enough).
     Node ids must be orderable (string or numeric).
+
+    ``small_graph_threshold`` > 0 enables a size-adaptive fast path: when the
+    edge list is below the threshold (dimension-sized graphs, e.g. an alias
+    dictionary), run single-task union-find via ``mapPartitions`` — one Spark
+    job instead of O(diameter) shuffle rounds. Output is identical (min node
+    id per component). The iterative hash-min path remains the default and
+    the only option for data-sized graphs.
     """
+    if small_graph_threshold and edges.count() <= small_graph_threshold:
+        return _small_graph_cc(edges, src, dst)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -90,13 +100,48 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
-def canonical_map_from_alias_dict(alias_dict: DataFrame) -> DataFrame:
+def _small_graph_cc(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find on a single task — for graphs that fit one partition."""
+
+    def uf(parts):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        rows = []
+        for part in parts:
+            for r in part.itertuples(index=False):
+                a, b = getattr(r, src), getattr(r, dst)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        import pandas as pd
+
+        nodes = list(parent)
+        rows = pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
+        yield rows
+
+    typ = edges.schema[src].dataType.simpleString()
+    return edges.coalesce(1).mapInPandas(uf, schema=f"node {typ}, component {typ}")
+
+
+def canonical_map_from_alias_dict(alias_dict: DataFrame, small_graph_threshold: int = 100_000) -> DataFrame:
     """CC over the bipartite (alias, entity_id) graph; returns
     (node, canonical_id) for both alias and entity nodes. Node ids are
-    namespaced ('a:' / 'e:') so aliases and entities cannot collide."""
+    namespaced ('a:' / 'e:') so aliases and entities cannot collide.
+
+    Alias dictionaries are dimension-sized, so the size-adaptive fast path
+    usually engages; huge dictionaries fall back to distributed hash-min."""
     edges = alias_dict.select(
         F.concat(F.lit("a:"), F.col("alias")).alias("src"),
         F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"),
     )
-    cc = connected_components(edges)
+    cc = connected_components(edges, small_graph_threshold=small_graph_threshold)
     return cc.select(F.col("node"), F.col("component").alias("canonical_id"))

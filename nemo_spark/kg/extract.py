@@ -49,9 +49,16 @@ def extract_triples_expr(transcripts: DataFrame) -> DataFrame:
     return out.filter(F.col("subj_alias") != "")
 
 
-def extract_triples_pandas(transcripts: DataFrame, batch_hint: int = 10_000) -> DataFrame:
+def extract_triples_pandas(
+    transcripts: DataFrame, repartition_on: tuple[str, ...] | None = None
+) -> DataFrame:
     """General extractor: every relation-sentence occurrence in the text,
-    via Arrow-batched pandas (vectorized ``str.extractall``)."""
+    via Arrow-batched pandas (vectorized ``str.extractall``).
+
+    ``repartition_on``: pass e.g. ("conv_id", "turn_idx") when the source
+    layout is conversation-clustered (Iceberg partitioned by conv_id) so the
+    hot conversation spreads across tasks; leave None when the source is
+    already evenly split (extraction is then a pure map stage, no shuffle)."""
     pattern = re.compile(MENTION_RE)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -67,9 +74,185 @@ def extract_triples_pandas(transcripts: DataFrame, batch_hint: int = 10_000) -> 
             yield pd.concat([keys, hits.reset_index(drop=True)], axis=1)
 
     cols = transcripts.select("conv_id", "turn_idx", "text")
-    # spread the hot conversation across tasks
-    cols = cols.repartition(F.col("conv_id"), F.col("turn_idx"))
+    if repartition_on:
+        cols = cols.repartition(*[F.col(c) for c in repartition_on])
     return cols.mapInPandas(extract, schema=TRIPLES_RAW_SCHEMA)
+
+
+ARROW_TRIPLE_RE = (
+    r"^(?P<subj_alias>(?:entity_|ent-|E\.)\d+) (?P<pred>works_at|located_in|part_of)"
+    r" (?P<obj_alias>(?:entity_|ent-|E\.)\d+) \."
+)
+
+
+def extract_triples_arrow(transcripts: DataFrame) -> DataFrame:
+    """Arrow-native extractor: ``mapInArrow`` + ``pyarrow.compute.extract_regex``
+    (RE2 in C++). No Python objects are materialized per row — unlike the
+    pandas path, whose object-dtype strings saturate memory bandwidth before
+    CPUs are busy. Same output as :func:`extract_triples_pandas` for
+    sentence-initial relation sentences (the corpus contract)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def extract(batches):
+        for batch in batches:
+            hits = pc.extract_regex(batch.column("text"), pattern=ARROW_TRIPLE_RE)
+            tbl = pa.table(
+                {
+                    "conv_id": batch.column("conv_id"),
+                    "turn_idx": batch.column("turn_idx"),
+                    "subj_alias": pc.struct_field(hits, "subj_alias"),
+                    "pred": pc.struct_field(hits, "pred"),
+                    "obj_alias": pc.struct_field(hits, "obj_alias"),
+                }
+            ).filter(hits.is_valid())
+            yield from tbl.to_batches()
+
+    cols = transcripts.select("conv_id", "turn_idx", "text")
+    return cols.mapInArrow(extract, schema=TRIPLES_RAW_SCHEMA)
+
+
+TURN_FEATURES_SCHEMA = (
+    "conv_id string, turn_idx int, subj_alias string, pred string, obj_alias string, "
+    "n_tokens int, n_mentions int, n_stopwords int, quality double, "
+    "lang string, fp long"
+)
+
+_STOPWORD_RE = re.compile(r"\b(?:the|a|of|and|to|in|is|it|for|on)\b")
+_MENTION_ONLY_RE = re.compile(r"(?:entity_|ent-|E\.)\d+")
+# tiny language-ID: per-language function-word densities (heuristic n-gram
+# langid, the classic training-pipeline pre-filter)
+_LANG_RES = {
+    "en": re.compile(r"\b(?:the|and|of|to|is|that|with)\b"),
+    "es": re.compile(r"\b(?:el|la|de|que|y|los|por)\b"),
+    "de": re.compile(r"\b(?:der|die|und|das|ist|nicht|mit)\b"),
+    "fr": re.compile(r"\b(?:le|la|et|les|des|est|pour)\b"),
+}
+
+
+def extract_turn_features_pandas(transcripts: DataFrame) -> DataFrame:
+    """One-pass per-turn extraction: relation triple + mention count + token /
+    stopword counts + quality ratio + language-ID + content fingerprint.
+
+    This is the pipeline's production extractor: at 100 TB you only get to
+    stream the text once, so relation extraction, mention detection, quality
+    scoring, language-ID and the dedup fingerprint share a single Arrow pass
+    (per-batch vectorized pandas). The stage is compute-heavy per byte, so it
+    scales with cores instead of saturating memory bandwidth — this is the
+    stage where real pipelines spend their CPU (NER, tokenizers), and its
+    outputs feed the downstream dedup / quality-filter / linking operators."""
+    triple_pat = re.compile(MENTION_RE)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            t = pdf["text"]
+            hits = t.str.extract(triple_pat)
+            hits.columns = ["subj_alias", "pred", "obj_alias"]
+            out = pd.concat([pdf[["conv_id", "turn_idx"]], hits], axis=1)
+            n_tokens = t.str.count(" ").add(1)
+            n_stop = t.str.count(_STOPWORD_RE)
+            out["n_tokens"] = n_tokens
+            out["n_mentions"] = t.str.count(_MENTION_ONLY_RE)
+            out["n_stopwords"] = n_stop
+            out["quality"] = (n_stop / n_tokens).clip(0.0, 1.0)
+            scores = np.stack([t.str.count(rx).to_numpy() for rx in _LANG_RES.values()])
+            langs = np.asarray(list(_LANG_RES))
+            best = scores.argmax(axis=0)
+            out["lang"] = np.where(scores.max(axis=0) > 0, langs[best], "unk")
+            # 64-bit content fingerprint for turn-level exact dedup
+            out["fp"] = pd.util.hash_array(t.to_numpy(dtype=object)).astype("int64")
+            yield out[out["subj_alias"].notna()]
+
+    cols = transcripts.select("conv_id", "turn_idx", "text")
+    return cols.mapInPandas(extract, schema=TURN_FEATURES_SCHEMA)
+
+
+REDUCED_TRIPLES_SCHEMA = "subj_alias string, pred string, obj_alias string, n long"
+
+
+def extract_triples_reduced_pandas(transcripts: DataFrame, min_quality: float = 0.0) -> DataFrame:
+    """Triples path at scale: the same one-pass per-turn computation as
+    :func:`extract_turn_features_pandas` (quality gate included), but the
+    python side MAP-SIDE PRE-AGGREGATES: each Arrow batch returns its distinct
+    (subj_alias, pred, obj_alias) with a count instead of per-turn rows.
+
+    Set semantics make this exact (the engine dedups globally afterwards);
+    the return transfer drops from O(turns) to O(distinct triples per batch) —
+    the python→JVM path stops being a bandwidth wall. This is the UDF analogue
+    of Spark's partial aggregation."""
+    triple_pat = re.compile(MENTION_RE)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            t = pdf["text"]
+            hits = t.str.extract(triple_pat)
+            hits.columns = ["subj_alias", "pred", "obj_alias"]
+            if min_quality > 0.0:
+                n_tokens = t.str.count(" ").add(1)
+                n_stop = t.str.count(_STOPWORD_RE)
+                quality = (n_stop / n_tokens).clip(0.0, 1.0)
+                hits = hits[quality >= min_quality]
+            hits = hits[hits["subj_alias"].notna()]
+            if hits.empty:
+                continue
+            yield hits.groupby(["subj_alias", "pred", "obj_alias"], as_index=False).size().rename(
+                columns={"size": "n"}
+            )
+
+    cols = transcripts.select("text")
+    return cols.mapInPandas(extract, schema=REDUCED_TRIPLES_SCHEMA)
+
+
+MENTIONS_SCHEMA = "conv_id string, turn_idx int, mention string, span_start int, span_end int"
+
+
+def extract_mentions_pandas(transcripts: DataFrame) -> DataFrame:
+    """Mention spans per turn (FIXTURES §3 ``mentions`` schema): both aliases
+    of the planted relation sentence with character offsets — vectorized
+    arithmetic over the extracted groups (subj starts at 0; obj starts after
+    'subj pred ')."""
+    pattern = re.compile(MENTION_RE)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hits = pdf["text"].str.extract(pattern)
+            hits.columns = ["subj_alias", "pred", "obj_alias"]
+            ok = hits["subj_alias"].notna()
+            if not ok.any():
+                continue
+            hits = hits[ok]
+            keys = pdf.loc[hits.index, ["conv_id", "turn_idx"]]
+            s_len = hits["subj_alias"].str.len()
+            o_start = s_len + 1 + hits["pred"].str.len() + 1
+            subj = pd.DataFrame(
+                {
+                    "conv_id": keys["conv_id"].to_numpy(),
+                    "turn_idx": keys["turn_idx"].to_numpy(),
+                    "mention": hits["subj_alias"].to_numpy(),
+                    "span_start": 0,
+                    "span_end": s_len.to_numpy(),
+                }
+            )
+            obj = pd.DataFrame(
+                {
+                    "conv_id": keys["conv_id"].to_numpy(),
+                    "turn_idx": keys["turn_idx"].to_numpy(),
+                    "mention": hits["obj_alias"].to_numpy(),
+                    "span_start": o_start.to_numpy(),
+                    "span_end": (o_start + hits["obj_alias"].str.len()).to_numpy(),
+                }
+            )
+            yield pd.concat([subj, obj], ignore_index=True)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(extract, schema=MENTIONS_SCHEMA)
 
 
 EXTRACT_SQL_TEMPLATE = """

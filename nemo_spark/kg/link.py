@@ -63,13 +63,14 @@ def link_scored(
 
 
 def best_candidate(scored: DataFrame, key_cols: list[str], score_col: str = "score") -> DataFrame:
-    """Keep the best-scoring candidate per key (ties broken by entity_id).
+    """Keep the best-scoring candidate per key; ties broken by MIN entity_id
+    (matches the hash-min canonicalization convention).
 
-    max_by-style groupBy (partial aggregation) rather than a window sort —
-    one shuffle, no per-partition global sort."""
-    strukt = F.struct(F.col(score_col).alias("s"), F.col("entity_id").alias("e"))
+    min(struct(-score, entity_id)) — a single partial-aggregating groupBy,
+    no window sort."""
+    strukt = F.struct((-F.col(score_col)).alias("ns"), F.col("entity_id").alias("e"))
     return (
         scored.groupBy(*key_cols)
-        .agg(F.max(strukt).alias("__best"))
-        .select(*key_cols, F.col("__best.e").alias("entity_id"), F.col("__best.s").alias(score_col))
+        .agg(F.min(strukt).alias("__best"))
+        .select(*key_cols, F.col("__best.e").alias("entity_id"), (-F.col("__best.ns")).alias(score_col))
     )

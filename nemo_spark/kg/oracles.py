@@ -36,6 +36,37 @@ FROM ({TRANSCRIPTS_SQL})
 WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
 """
 
+KG_MENTIONS = f"""
+WITH ext AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, '{TRIPLE_RE}', 1) AS s,
+         regexp_extract(text, '{TRIPLE_RE}', 2) AS p,
+         regexp_extract(text, '{TRIPLE_RE}', 3) AS o
+  FROM ({TRANSCRIPTS_SQL})
+  WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
+)
+SELECT conv_id, turn_idx, s AS mention,
+       CAST(0 AS INTEGER) AS span_start, CAST(LENGTH(s) AS INTEGER) AS span_end
+FROM ext
+UNION ALL
+SELECT conv_id, turn_idx, o AS mention,
+       CAST(LENGTH(s) + LENGTH(p) + 2 AS INTEGER) AS span_start,
+       CAST(LENGTH(s) + LENGTH(p) + 2 + LENGTH(o) AS INTEGER) AS span_end
+FROM ext
+"""
+
+KG_LINKED = f"""
+WITH {ALIAS_DICT_CTES},
+ext AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract(text, '{TRIPLE_RE}', 1) AS subj_alias
+  FROM ({TRANSCRIPTS_SQL})
+  WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
+)
+SELECT ext.conv_id, ext.turn_idx, ext.subj_alias, ad.entity_id
+FROM ext JOIN ad ON ad.alias = ext.subj_alias
+"""
+
 # ---------------------------------------------------------------- alias dict
 
 KG_ALIAS_DICT = ALIAS_DICT_SQL

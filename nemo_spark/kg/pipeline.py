@@ -25,11 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nemo_spark.engine.checkpoint import CheckpointStore
-from nemo_spark.engine.seminaive import SemiNaiveEngine
 from nemo_spark.kg import transcripts as T
 from nemo_spark.kg.canonicalize import canonical_map_from_alias_dict
-from nemo_spark.kg.extract import extract_triples_expr, extract_triples_pandas
-from nemo_spark.model.rules import Atom, Program, Rule, Var
+from nemo_spark.kg.extract import (
+    extract_triples_expr,
+    extract_triples_pandas,
+    extract_turn_features_pandas,
+)
 
 
 @dataclass
@@ -46,14 +48,17 @@ def run_pipeline(
     transcripts: DataFrame,
     alias_dict: DataFrame | None = None,
     checkpoint_store: CheckpointStore | None = None,
-    use_pandas_extractor: bool = True,
+    extractor: str = "features",  # features | pandas | arrow | expr
     transitive_preds: tuple[str, ...] = ("located_in",),
 ) -> PipelineResult:
     metrics: dict = {}
     t_start = time.time()
 
-    # resume support: skip completed stages when a store is given
-    def stage(name: str, build, step: int) -> DataFrame:
+    # resume support: skip completed stages when a store is given.
+    # materialize=True: without a store, eagerly localCheckpoint the stage
+    # output so downstream broadcasts/reuses never recompute its lineage
+    # (the CC loop would otherwise re-run once per broadcast).
+    def stage(name: str, build, step: int, materialize: bool = False) -> DataFrame:
         if checkpoint_store is not None:
             cached = checkpoint_store.load(name)
             if cached is not None:
@@ -63,52 +68,73 @@ def run_pipeline(
         df = build()
         if checkpoint_store is not None:
             df = checkpoint_store.snapshot(name, df, step)
+        elif materialize:
+            df = df.localCheckpoint(eager=True)
         metrics[name] = {"wall_sec": time.time() - t0}
         return df
 
     alias_dict = alias_dict if alias_dict is not None else T.alias_dict(spark)
 
-    # 1. extract
-    extractor = extract_triples_pandas if use_pandas_extractor else extract_triples_expr
-    triples_raw = stage("triples_raw", lambda: extractor(transcripts), 1)
+    # 1. extract — default: the one-pass per-turn feature extractor
+    # (triples + mentions + quality + langid + dedup fingerprint)
+    extract_fns = {
+        "features": extract_turn_features_pandas,
+        "pandas": extract_triples_pandas,
+        "expr": extract_triples_expr,
+    }
+    if extractor == "reduced":
+        from nemo_spark.kg.extract import extract_triples_reduced_pandas
+
+        extract_fn = extract_triples_reduced_pandas
+    elif extractor == "arrow":
+        from nemo_spark.kg.extract import extract_triples_arrow
+
+        extract_fn = extract_triples_arrow
+    else:
+        extract_fn = extract_fns[extractor]
+    triples_raw = stage("triples_raw", lambda: extract_fn(transcripts), 1)
 
     # 2+3. canonical map: CC over the (alias, entity) bipartite graph.
     # The alias dictionary is dimension-sized, so the canonical map is small
     # and broadcastable; mentions never shuffle for linking.
-    canonical_map = stage("canonical_map", lambda: canonical_map_from_alias_dict(alias_dict), 1)
+    canonical_map = stage(
+        "canonical_map", lambda: canonical_map_from_alias_dict(alias_dict), 1, materialize=True
+    )
 
-    # 4. canonical triples (set semantics)
+    # 4. canonical triples (set semantics); materialized once — extraction
+    # and linking feed both the closure stage and the final union
     def build_triples() -> DataFrame:
         cm = F.broadcast(canonical_map)
         s = cm.withColumnRenamed("node", "__sn").withColumnRenamed("canonical_id", "subj")
         o = cm.withColumnRenamed("node", "__on").withColumnRenamed("canonical_id", "obj")
-        return (
-            triples_raw
+        # dedup BEFORE the joins: the alias-level distinct is a map-side
+        # partial aggregate that shrinks O(turns) rows to O(|alias triples|),
+        # so the canonical joins and final dedup touch only dimension-sized data
+        alias_triples = triples_raw.select("subj_alias", "pred", "obj_alias").dropDuplicates()
+        out = (
+            alias_triples
             .join(s, F.concat(F.lit("a:"), F.col("subj_alias")) == F.col("__sn"), "inner")
             .join(o, F.concat(F.lit("a:"), F.col("obj_alias")) == F.col("__on"), "inner")
             .select("subj", "pred", "obj")
             .dropDuplicates()
         )
+        return out
 
-    triples = stage("triples", build_triples, 1)
+    triples = stage("triples", build_triples, 1, materialize=True)
 
-    # 5. fixpoint closure of transitive predicates via the rule engine
+    # 5. fixpoint closure of transitive predicates — path-doubling semi-naive
+    # (O(log diameter) rounds; the generic linear-recursion engine is
+    # SemiNaiveEngine, exercised by the Datalog query surface)
     def build_closure() -> DataFrame:
+        from nemo_spark.ops.graph import transitive_closure
+
         out = None
         for pred in transitive_preds:
-            edges = triples.filter(F.col("pred") == pred).select("subj", "obj")
-            eng = SemiNaiveEngine(spark, checkpoint_store=checkpoint_store)
-            eng.register("edge", edges)
-            Xv, Yv, Zv = Var("X"), Var("Y"), Var("Z")
-            prog = Program(
-                rules=[
-                    Rule(Atom("closure", Xv, Yv), [Atom("edge", Xv, Yv)]),
-                    Rule(Atom("closure", Xv, Zv), [Atom("closure", Xv, Yv), Atom("edge", Yv, Zv)]),
-                ]
+            edges = triples.filter(F.col("pred") == pred).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
             )
-            eng.run(prog)
-            part = eng.table("closure").select(
-                F.col("c0").alias("subj"), F.lit(pred).alias("pred"), F.col("c1").alias("obj")
+            part = transitive_closure(edges, small_graph_threshold=100_000).select(
+                F.col("src").alias("subj"), F.lit(pred).alias("pred"), F.col("dst").alias("obj")
             )
             out = part if out is None else out.unionByName(part)
         if out is None:

@@ -80,10 +80,19 @@ def _number_turns(df: DataFrame) -> DataFrame:
 
 
 def synth_transcripts(spark: SparkSession, n_turns: int, partitions: int | None = None) -> DataFrame:
-    """Standalone deterministic corpus of ``n_turns`` turns."""
+    """Standalone deterministic corpus of ``n_turns`` turns.
+
+    turn_idx = global id (unique + monotone within each conversation) rather
+    than a dense per-conv rank: a rank would need a global window sort whose
+    hot-conversation partition (~30% of rows) serializes — the exact skew this
+    pipeline exists to avoid. The documents-derived variant (tiny, oracle-
+    checked) keeps dense ranks."""
     base = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
     filler = F.concat(F.lit("filler "), F.conv(F.col("id").cast("string"), 10, 16))
-    return _number_turns(_with_transcript_columns(base, "id", filler))
+    df = _with_transcript_columns(base, "id", filler)
+    return df.select(
+        "conv_id", F.col("__i").cast("int").alias("turn_idx"), "role", "text", "tool", "ts"
+    )
 
 
 def transcripts_from_documents(docs: DataFrame) -> DataFrame:

@@ -92,13 +92,11 @@ def test_per_turn_text_invariant(spark):
     a = t1.withColumn("rn", F.row_number().over(w)).select("conv_id", "rn", "text")
     b = t2.withColumn("rn", F.row_number().over(w)).select("conv_id", "rn", "text")
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
-    # turn_idx is dense 0..k-1 per conversation
-    bad = (
-        t1.groupBy("conv_id")
-        .agg(F.min("turn_idx").alias("mn"), F.max("turn_idx").alias("mx"), F.count("*").alias("n"))
-        .filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1))
-    )
-    assert bad.isEmpty()
+    # turn_idx unique per conversation and aligned with ts order
+    dup = t1.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1)
+    assert dup.isEmpty()
+    mis = t1.withColumn("prev_ts", F.lag("ts").over(w)).filter(F.col("prev_ts") >= F.col("ts"))
+    assert mis.isEmpty()
     assert t1.count() == N_TURNS
 
 

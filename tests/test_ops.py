@@ -1,0 +1,109 @@
+"""Operator semantics tests not covered by the DuckDB oracles."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from nemo_spark.kg.link import best_candidate, jaccard, char_ngrams, link_scored
+from nemo_spark.ops.dedup import exact_dedup, jaccard_verify, lsh_candidate_pairs, simhash64
+from nemo_spark.ops.graph import transitive_closure
+from nemo_spark.ops.similarity import brute_force_topk, bucketed_topk, cosine, pandas_cosine_scores
+
+
+def test_link_scored_exact_and_fuzzy(spark):
+    mentions = spark.createDataFrame([("entity_7",), ("entity7",), ("zzz",)], ["mention"])
+    aliases = spark.createDataFrame(
+        [("entity_7", "ent7"), ("entity_8", "ent8"), ("alpha", "ent9")], ["alias", "entity_id"]
+    )
+    scored = link_scored(mentions, aliases, min_score=0.4)
+    best = {r.mention: (r.entity_id, r.score) for r in best_candidate(scored, ["mention"]).collect()}
+    assert best["entity_7"] == ("ent7", 1.0)  # exact alias
+    assert best["entity7"][0] == "ent7" and 0.4 <= best["entity7"][1] < 1.0  # fuzzy
+    assert "zzz" not in best  # below threshold / blocked
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")], ["doc_id", "text"]
+    )
+    kept = {r.doc_id for r in exact_dedup(df).collect()}
+    assert kept == {1, 3}
+
+
+def test_jaccard_verify_known_pair(spark):
+    a = "w1 w2 w3 w4 w5 w6"
+    b = "w1 w2 w3 w4 w5 zz"  # shares 3 of (4+4-3)? shingles: a has 4, b has 4, common 3
+    df = spark.createDataFrame([(1, a), (2, b), (3, "x y z q r s")], ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(df)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (1, 2) in got
+    j = {(r.a, r.b): r.jaccard for r in jaccard_verify(pairs, df, threshold=0.0).collect()}
+    assert abs(j[(1, 2)] - 3 / 5) < 1e-9
+
+
+def test_simhash_hamming(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "kappa2")
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"])
+    s = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert s[1] == s[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(s[1], s[3]) < ham(s[1], s[4])
+
+
+def test_topk_brute_vs_pandas_and_bucketed(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    rest = emb.filter(F.col("vec_id") != 0)
+    brute = {r.vec_id: r.score for r in brute_force_topk(rest, qv, k=10).collect()}
+    # pandas scorer agrees with Catalyst scorer
+    pscores = {r.vec_id: r.score for r in pandas_cosine_scores(rest, qv).collect()}
+    for vid, s in brute.items():
+        assert abs(pscores[vid] - s) < 1e-9
+    # bucketed ANN returns correctly-scored rows from the query bucket
+    approx = {r.vec_id: r.score for r in bucketed_topk(rest, qv, k=10).collect()}
+    full = {r.vec_id: r.score for r in pandas_cosine_scores(rest, qv).collect()}
+    for vid, s in approx.items():
+        assert abs(full[vid] - s) < 1e-6
+
+
+def test_transitive_closure_matches_engine(spark):
+    from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var
+
+    edges = [(i, (i * 3 + 1) % 17) for i in range(17)] + [(1, 2), (5, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    tc = {(r.src, r.dst) for r in transitive_closure(df).collect()}
+    eng = SemiNaiveEngine(spark)
+    eng.register("edge", df)
+    X, Y, Z = Var("X"), Var("Y"), Var("Z")
+    eng.run(
+        Program(
+            rules=[
+                Rule(Atom("tc", X, Y), [Atom("edge", X, Y)]),
+                Rule(Atom("tc", X, Z), [Atom("tc", X, Y), Atom("edge", Y, Z)]),
+            ]
+        )
+    )
+    want = {(r.c0, r.c1) for r in eng.table("tc").collect()}
+    assert tc == want
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_filter_pushdown_orders(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:200]
+    # projection pruning: scan reads only the 3 needed columns
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:300]

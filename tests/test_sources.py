@@ -1,0 +1,84 @@
+"""Source/sink tests: DSV value formats, N-Triples round-trip, JSON."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from nemo_spark.sources.dsv import read_dsv, write_dsv
+from nemo_spark.sources.json_source import from_json_column, read_json_facts
+from nemo_spark.sources.rdf import read_ntriples, write_ntriples
+
+
+def test_dsv_anything_and_typed(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("1,foo,2.5\nx,bar,zzz\n3,baz,4.0\n")
+    # anything: keeps lexical form
+    df = read_dsv(spark, str(p), 3)
+    assert {tuple(r) for r in df.collect()} == {("1", "foo", "2.5"), ("x", "bar", "zzz"), ("3", "baz", "4.0")}
+    # int format: unparseable row dropped (nemo error-is-no-result)
+    df2 = read_dsv(spark, str(p), 3, formats=["int", "string", "double"])
+    assert {tuple(r) for r in df2.collect()} == {(1, "foo", 2.5), (3, "baz", 4.0)}
+    # skip column
+    df3 = read_dsv(spark, str(p), 3, formats=["anything", "skip", "anything"])
+    assert df3.columns == ["c0", "c1"]
+
+
+def test_dsv_gzip_and_roundtrip(spark, tmp_path):
+    gz = tmp_path / "data.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("a,1\nb,2\n")
+    df = read_dsv(spark, str(gz), 2)
+    assert df.count() == 2
+    out = tmp_path / "out"
+    write_dsv(df, str(out))
+    back = read_dsv(spark, str(out), 2)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+NT = """
+# a comment
+<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> .
+<http://ex.org/b> <http://ex.org/name> "Bob" .
+<http://ex.org/c> <http://ex.org/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:blank1 <http://ex.org/p> "hi"@en .
+malformed line without triple
+"""
+
+
+def test_ntriples_parse(spark, tmp_path):
+    p = tmp_path / "t.nt"
+    p.write_text(NT)
+    df = read_ntriples(spark, str(p))
+    rows = {tuple(r) for r in df.collect()}
+    assert ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b") in rows
+    assert ("http://ex.org/b", "http://ex.org/name", '"Bob"') in rows
+    assert ("http://ex.org/c", "http://ex.org/age", '"42"^^<http://www.w3.org/2001/XMLSchema#integer>') in rows
+    assert ("_:blank1", "http://ex.org/p", '"hi"@en') in rows
+    assert len(rows) == 4  # malformed + comment skipped
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    p = tmp_path / "t.nt"
+    p.write_text(NT)
+    df = read_ntriples(spark, str(p))
+    out = tmp_path / "out_nt"
+    write_ntriples(df, str(out))
+    back = read_ntriples(spark, str(out))
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_json_facts(spark, tmp_path):
+    p = tmp_path / "f.jsonl"
+    p.write_text('{"a": 1, "b": {"c": "x"}}\n{"a": 2, "b": {"c": "y"}}\n')
+    df = read_json_facts(spark, str(p), ["a", "b.c"])
+    assert {tuple(r) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_from_json_column(spark, sf_dir="/root/testdata/sf0.001"):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = from_json_column(ev, "props", "k int")
+    row = parsed.select(F.col("props_parsed.k").alias("k")).filter(F.col("k").isNotNull()).first()
+    assert row is not None
