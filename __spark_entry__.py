@@ -149,28 +149,55 @@ def q_filter_pushdown_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_tc_nations(spark: SparkSession, sf: str) -> DataFrame:
-    """Transitive closure via the semi-naive engine over a deterministic
-    nation graph (i -> (2i+3) mod 25)."""
-    from nemo_spark.engine.seminaive import SemiNaiveEngine
-    from nemo_spark.model.rules import Atom, Program, Rule, Var
+    """Transitive closure over a deterministic nation graph (i -> (2i+3) mod
+    25) via the path-doubling operator (O(log diameter) rounds). The generic
+    linear-recursion engine computes the identical relation
+    (tests/test_ops.py::test_transitive_closure_matches_engine) but pays
+    O(diameter) fixpoint barriers — doubling is the scale-path choice."""
+    from nemo_spark.ops.graph import transitive_closure
 
     n = _t(spark, sf, "nation")
     edges = n.select(
         F.col("n_nationkey").cast("long").alias("src"),
         ((F.col("n_nationkey") * 2 + 3) % 25).cast("long").alias("dst"),
     )
+    return transitive_closure(edges)
+
+
+def q_datalog_negation(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-driven rule with negation: nations that have customers but no
+    suppliers — cust_nation(N) :- customer(...,N); supp_nation(N) :- ...;
+    result(N) :- cust_nation(N), ~supp_nation(N)."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
     eng = SemiNaiveEngine(spark)
-    eng.register("edge", edges)
-    X, Y, Z = Var("X"), Var("Y"), Var("Z")
+    eng.register("customer", _t(spark, sf, "customer").select(F.col("c_nationkey").cast("long")))
+    eng.register("supplier", _t(spark, sf, "supplier").select(F.col("s_nationkey").cast("long")))
+    N = Var("N")
     eng.run(
         Program(
             rules=[
-                Rule(Atom("tc", X, Y), [Atom("edge", X, Y)]),
-                Rule(Atom("tc", X, Z), [Atom("tc", X, Y), Atom("edge", Y, Z)]),
+                Rule(Atom("cust_nation", N), [Atom("customer", N)]),
+                Rule(Atom("supp_nation", N), [Atom("supplier", N)]),
+                Rule(Atom("result", N), [Atom("cust_nation", N)], negated=[Atom("supp_nation", N)]),
             ]
         )
     )
-    return eng.table("tc").select(F.col("c0").alias("src"), F.col("c1").alias("dst"))
+    return eng.table("result").select(F.col("c0").alias("nationkey"))
+
+
+def q_datalog_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-driven aggregate rule (nemo #count semantics: distinct
+    bindings): per order priority, number of distinct customers."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var, agg
+
+    eng = SemiNaiveEngine(spark)
+    eng.register("orders", _t(spark, sf, "orders").select("o_orderpriority", F.col("o_custkey").cast("long")))
+    P, C = Var("P"), Var("C")
+    eng.run(Program(rules=[Rule(Atom("r", P, agg.count(C)), [Atom("orders", P, C)])]))
+    return eng.table("r").select(F.col("c0").alias("o_orderpriority"), F.col("c1").alias("n_custs"))
 
 
 def q_cc_users(spark: SparkSession, sf: str) -> DataFrame:
@@ -376,6 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_pushdown_orders": q_filter_pushdown_orders,
         "tc_nations": q_tc_nations,
         "cc_users": q_cc_users,
+        "datalog_negation": q_datalog_negation,
+        "datalog_aggregate": q_datalog_aggregate,
         "kg_transcripts": q_kg_transcripts,
         "kg_turns_per_conv": q_kg_turns_per_conv,
         "kg_extract": q_kg_extract,
@@ -475,6 +504,14 @@ def oracle_sql() -> dict[str, str]:
             edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
             reach(a, b) AS (SELECT a, a FROM edges UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
             SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+        """,
+        "datalog_negation": """
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+        """,
+        "datalog_aggregate": """
+            SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+            FROM orders GROUP BY o_orderpriority
         """,
         "kg_transcripts": KG.KG_TRANSCRIPTS,
         "kg_turns_per_conv": KG.KG_TURNS_PER_CONV,

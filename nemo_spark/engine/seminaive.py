@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nemo_spark.engine.stratify import stratify
-from nemo_spark.model.rules import Aggregate, Atom, Program, Rule, Var
+from nemo_spark.model.rules import Aggregate, Atom, EVar, Program, Rule, Var
 
 log = logging.getLogger("nemo_spark.engine")
 
@@ -86,12 +86,19 @@ class SemiNaiveEngine:
         checkpoint_every: int = 6,
         checkpoint_store: Any | None = None,
         max_rounds: int = 10_000,
+        trace: bool = False,
     ) -> None:
         self.spark = spark
         self.broadcast_threshold = broadcast_threshold
         self.checkpoint_every = checkpoint_every
         self.checkpoint_store = checkpoint_store
         self.max_rounds = max_rounds
+        self.trace = trace
+        # provenance: (pred, rule_label, stratum, round, fresh facts) — the
+        # Spark analogue of nemo's step-tagged subtables
+        # (nemo/src/table_manager.rs:67), queried by trace_fact like nemo's
+        # ExecutionTraceTree lookups (nemo/src/execution/tracing/trace.rs)
+        self._provenance: list[tuple[str, str, int, int, DataFrame]] = []
         self._tables: dict[str, DataFrame] = {}
         self._arity: dict[str, int] = {}
         self.stats = EngineStats()
@@ -118,6 +125,46 @@ class SemiNaiveEngine:
     def tables(self) -> dict[str, DataFrame]:
         return dict(self._tables)
 
+    # -------------------------------------------------------------- tracing
+
+    def trace_fact(self, pred: str, values: tuple) -> list[dict]:
+        """Which rule derived this fact, at which stratum/round?
+
+        Returns every provenance record containing the fact (EDB facts and
+        runs without ``trace=True`` yield []). nemo answers this from its
+        step-tagged subtables; we answer it from the per-round fresh frames."""
+        out = []
+        for p, label, stratum, round_idx, fresh in self._provenance:
+            if p != pred:
+                continue
+            cond = None
+            for i, v in enumerate(values):
+                c = F.col(f"c{i}") == F.lit(v)
+                cond = c if cond is None else (cond & c)
+            if not fresh.filter(cond).isEmpty():
+                out.append({"pred": pred, "rule": label, "stratum": stratum, "round": round_idx})
+        return out
+
+    def provenance_table(self) -> DataFrame | None:
+        """All derived facts with (rule, stratum, round) tags, one DataFrame."""
+        frames = []
+        for p, label, stratum, round_idx, fresh in self._provenance:
+            frames.append(
+                fresh.select(
+                    F.lit(p).alias("pred"),
+                    F.xxhash64(*[F.col(c) for c in fresh.columns]).alias("fact_hash"),
+                    F.lit(label).alias("rule"),
+                    F.lit(stratum).alias("stratum"),
+                    F.lit(round_idx).alias("round"),
+                )
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     # -------------------------------------------------------------------- run
 
     def run(self, program: Program) -> EngineStats:
@@ -136,10 +183,57 @@ class SemiNaiveEngine:
             self._run_stratum(stratum_idx, rules)
         return self.stats
 
+    def extend(self, program: Program, new_facts: dict[str, DataFrame]) -> EngineStats:
+        """Incremental maintenance: add facts and continue the fixpoint from
+        them as deltas (no from-scratch round 0) — sound for programs whose
+        affected strata are negation/aggregate-free (monotone); otherwise the
+        engine falls back to a full re-run of the affected strata.
+
+        This is the Spark analogue of nemo's deferred/incremental imports
+        (``nemo-physical/src/tabular/operations/incremental_import.rs``),
+        and the hook the streaming layer drives per micro-batch."""
+        arities = program.predicates()
+        for p, n in arities.items():
+            self._arity.setdefault(p, n)
+        deltas: dict[str, DataFrame] = {}
+        counts: dict[str, int] = {}
+        for pred, df in new_facts.items():
+            df = df.toDF(*_cols(self._arity[pred])).dropDuplicates()
+            fresh, cnt = self._merge(pred, df)
+            if cnt:
+                deltas[pred] = fresh
+                counts[pred] = cnt
+        if not deltas:
+            return self.stats
+        strata = stratify(program)
+        monotone = all(not r.negated and r.head_aggregate() is None for s in strata for r in s)
+        if not monotone:
+            # non-monotone: recompute (correct, not incremental)
+            for stratum_idx, rules in enumerate(strata):
+                self._run_stratum(stratum_idx, rules)
+            return self.stats
+        for stratum_idx, rules in enumerate(strata):
+            self._run_stratum(stratum_idx, rules, seed_delta=(deltas, counts))
+        return self.stats
+
     # ---------------------------------------------------------------- stratum
 
-    def _run_stratum(self, stratum_idx: int, rules: list[Rule]) -> None:
-        idb = {r.head.pred for r in rules}
+    def _run_stratum(
+        self,
+        stratum_idx: int,
+        rules: list[Rule],
+        seed_delta: tuple[dict[str, DataFrame], dict[str, int]] | None = None,
+    ) -> None:
+        idb = {h.pred for r in rules for h in r.heads()}
+
+        if seed_delta is not None:
+            # incremental continuation: skip round 0, start from given deltas
+            delta = {p: d for p, d in seed_delta[0].items()}
+            delta_counts = dict(seed_delta[1])
+            new_any = any(delta_counts.values())
+            round_idx = 0
+            self._rounds_from(stratum_idx, rules, idb, round_idx, delta, delta_counts, new_any)
+            return
 
         # Round 0: full evaluation of every rule against current tables.
         round_idx = 0
@@ -148,28 +242,48 @@ class SemiNaiveEngine:
         new_any = False
         for ri, rule in enumerate(rules):
             t0 = time.time()
-            derived = self._eval_rule(rule, {}, {}, use_delta_atom=None)
-            if derived is None:
+            derived_map = self._eval_rule(rule, {}, {}, use_delta_atom=None)
+            if derived_map is None:
                 continue
-            fresh, cnt = self._merge(rule.head.pred, derived)
-            self._record(stratum_idx, round_idx, rule.label(ri), cnt, time.time() - t0)
-            if cnt:
-                new_any = True
-                # freshes of the same pred are disjoint (each rule's anti-join
-                # ran against the table already containing earlier freshes),
-                # so plain union + summed counts are exact — no recount job.
-                delta[rule.head.pred] = (
-                    delta[rule.head.pred].unionByName(fresh) if rule.head.pred in delta else fresh
-                )
-                delta_counts[rule.head.pred] = delta_counts.get(rule.head.pred, 0) + cnt
+            for hp, derived in derived_map.items():
+                fresh, cnt = self._merge(hp, derived)
+                self._record(stratum_idx, round_idx, rule.label(ri), cnt, time.time() - t0)
+                t0 = time.time()
+                if cnt:
+                    if self.trace:
+                        self._provenance.append((hp, rule.label(ri), stratum_idx, round_idx, fresh))
+                    new_any = True
+                    # freshes of the same pred are disjoint (each anti-join ran
+                    # against the table already containing earlier freshes),
+                    # so plain union + summed counts are exact — no recount job.
+                    delta[hp] = delta[hp].unionByName(fresh) if hp in delta else fresh
+                    delta_counts[hp] = delta_counts.get(hp, 0) + cnt
 
         # Rounds 1..: semi-naive — only delta-reading variants of rules whose
-        # body touches a predicate that changed last round.
+        # body touches a predicate that changed last round. All variants with
+        # the same head predicate are unioned and merged ONCE per round: one
+        # dedup-anti-join + one materializing job per predicate, not per rule
+        # (rounds are the latency unit of a fixpoint; fewer jobs per round
+        # matter more than intra-round fact propagation, which dedup makes
+        # redundant anyway).
+        self._rounds_from(stratum_idx, rules, idb, round_idx, delta, delta_counts, new_any)
+
+    def _rounds_from(
+        self,
+        stratum_idx: int,
+        rules: list[Rule],
+        idb: set[str],
+        round_idx: int,
+        delta: dict[str, DataFrame],
+        delta_counts: dict[str, int],
+        new_any: bool,
+    ) -> None:
         while new_any and round_idx < self.max_rounds:
             round_idx += 1
             new_any = False
-            next_delta: dict[str, DataFrame] = {}
-            next_counts: dict[str, int] = {}
+            per_pred: dict[str, DataFrame] = {}
+            per_pred_rules: dict[str, list[str]] = {}
+            t_eval: dict[str, float] = {}
             for ri, rule in enumerate(rules):
                 hot = [
                     i
@@ -186,19 +300,31 @@ class SemiNaiveEngine:
                 parts = [p for p in parts if p is not None]
                 if not parts:
                     continue
-                derived = parts[0]
-                for p_ in parts[1:]:
-                    derived = derived.unionByName(p_)
-                fresh, cnt = self._merge(rule.head.pred, derived)
-                self._record(stratum_idx, round_idx, rule.label(ri), cnt, time.time() - t0)
+                merged_map: dict[str, DataFrame] = {}
+                for pm in parts:
+                    for hp, d in pm.items():
+                        merged_map[hp] = merged_map[hp].unionByName(d) if hp in merged_map else d
+                for hp, derived in merged_map.items():
+                    per_pred[hp] = per_pred[hp].unionByName(derived) if hp in per_pred else derived
+                    per_pred_rules.setdefault(hp, []).append(rule.label(ri))
+                    t_eval[hp] = t_eval.get(hp, 0.0) + (time.time() - t0)
+            next_delta: dict[str, DataFrame] = {}
+            next_counts: dict[str, int] = {}
+            for hp, derived in per_pred.items():
+                t0 = time.time()
+                fresh, cnt = self._merge(hp, derived)
+                self._record(
+                    stratum_idx, round_idx, "+".join(per_pred_rules[hp]), cnt,
+                    t_eval.get(hp, 0.0) + (time.time() - t0),
+                )
                 if cnt:
+                    if self.trace:
+                        self._provenance.append(
+                            (hp, "+".join(per_pred_rules[hp]), stratum_idx, round_idx, fresh)
+                        )
                     new_any = True
-                    next_delta[rule.head.pred] = (
-                        next_delta[rule.head.pred].unionByName(fresh)
-                        if rule.head.pred in next_delta
-                        else fresh
-                    )
-                    next_counts[rule.head.pred] = next_counts.get(rule.head.pred, 0) + cnt
+                    next_delta[hp] = fresh
+                    next_counts[hp] = cnt
             delta, delta_counts = next_delta, next_counts
             # checkpoint cadence: truncate plan lineage (nemo defrag analogue)
             if round_idx % self.checkpoint_every == 0:
@@ -214,9 +340,11 @@ class SemiNaiveEngine:
         delta: dict[str, DataFrame],
         delta_counts: dict[str, int],
         use_delta_atom: int | None,
-    ) -> DataFrame | None:
-        """Evaluate one rule body; returns head-layout DataFrame (c0..cn-1),
-        or None when some positive atom's predicate has no facts at all."""
+    ) -> dict[str, DataFrame] | None:
+        """Evaluate one rule body; returns {head_pred: head-layout DataFrame
+        (c0..cn-1)}, or None when some positive atom's predicate has no facts
+        at all. Multi-atom heads share one body evaluation and one skolem
+        instantiation per existential variable."""
         bound: DataFrame | None = None
         bound_vars: list[str] = []
         for i, atom in enumerate(rule.body):
@@ -267,8 +395,36 @@ class SemiNaiveEngine:
 
         aggregate = rule.head_aggregate()
         if aggregate is not None:
-            return self._project_aggregate(bound, rule.head, aggregate)
-        return self._project_head(bound, rule.head)
+            return {rule.head.pred: self._project_aggregate(bound, rule.head, aggregate)}
+
+        # existential head variables: deterministic labeled nulls — skolem
+        # hash over the frontier (universal head vars), shared by all head
+        # atoms of this rule (nemo Null op, tabular/operations/null.rs:152)
+        evars = rule.existential_vars()
+        if evars:
+            frontier = sorted(
+                {
+                    t.name
+                    for h in rule.heads()
+                    for t in h.terms
+                    if isinstance(t, Var) and not isinstance(t, EVar) and t.name in bound_vars
+                }
+            )
+            salt_cols = [F.col(v) for v in frontier] or [F.lit(0)]
+            label = rule.name or rule.head.pred
+            for ev in evars:
+                bound = bound.withColumn(
+                    ev.name,
+                    F.concat(
+                        F.lit(f"_:{label}:{ev.name}:"), F.xxhash64(*salt_cols).cast("string")
+                    ),
+                )
+
+        out: dict[str, DataFrame] = {}
+        for h in rule.heads():
+            proj = self._project_head(bound, h)
+            out[h.pred] = out[h.pred].unionByName(proj) if h.pred in out else proj
+        return out
 
     def _bind_atom(self, df: DataFrame, atom: Atom) -> DataFrame:
         """Rename positional cols to variable names; constants -> filters;
@@ -337,19 +493,20 @@ class SemiNaiveEngine:
         nemo: new := candidate \\ union(all prior subtables)
         (``planning/operations/duplicates.rs:24-46``).
         """
-        # localCheckpoint (eager) rather than persist: truncates the logical
-        # plan every round — without this, round t's plan embeds round t-1's
-        # join trees recursively and analysis cost grows exponentially.
+        # localCheckpoint rather than persist: truncates the logical plan
+        # every round — without this, round t's plan embeds round t-1's join
+        # trees recursively and analysis cost grows exponentially. Lazy
+        # checkpoint + count = ONE materializing job per merge.
         if pred in self._tables:
             existing = self._tables[pred]
             fresh = derived.dropDuplicates().join(
                 existing, on=list(existing.columns), how="left_anti"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             cnt = fresh.count()
             if cnt:
                 self._tables[pred] = existing.unionByName(fresh)
         else:
-            fresh = derived.dropDuplicates().localCheckpoint(eager=True)
+            fresh = derived.dropDuplicates().localCheckpoint(eager=False)
             cnt = fresh.count()
             if cnt:
                 self._tables[pred] = fresh

@@ -27,12 +27,19 @@ def stratify(program: Program) -> list[list[Rule]]:
     idb = program.idb_predicates()
     for r in program.rules:
         has_agg = r.head_aggregate() is not None
-        for a in r.body:
-            if a.pred in idb:
-                (neg_edges if has_agg else pos_edges)[a.pred].add(r.head.pred)
-        for a in r.negated:
-            if a.pred in idb:
-                neg_edges[a.pred].add(r.head.pred)
+        # heads of one rule are derived together: tie them into one SCC
+        hs = [h.pred for h in r.heads()]
+        for h1 in hs:
+            for h2 in hs:
+                if h1 != h2:
+                    pos_edges[h1].add(h2)
+        for h in r.heads():
+            for a in r.body:
+                if a.pred in idb:
+                    (neg_edges if has_agg else pos_edges)[a.pred].add(h.pred)
+            for a in r.negated:
+                if a.pred in idb:
+                    neg_edges[a.pred].add(h.pred)
 
     preds = sorted(idb | {p for p in program.facts} | set(pos_edges) | set(neg_edges))
     index = {p: i for i, p in enumerate(preds)}

@@ -37,6 +37,17 @@ class Var:
         return f"?{self.name}"
 
 
+@dataclass(frozen=True, repr=False)
+class EVar(Var):
+    """Existential head variable (nemo: ``!V``). Instantiated as a
+    deterministic labeled null: skolem hash of the rule's frontier values
+    (``nemo-physical/src/tabular/operations/null.rs`` analogue — deterministic
+    skolem ids rather than counters, so retries/recomputation are stable)."""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"!{self.name}"
+
+
 # A term is a Var, an Aggregate (head only), or a Python literal constant.
 Term = Any
 
@@ -102,15 +113,19 @@ class Atom:
 
 @dataclass
 class Rule:
-    """``head :- body, ~negated, filters, assignments``.
+    """``head[, head2, ...] :- body, ~negated, filters, assignments``.
 
-    Safety: every head variable must occur in a positive body atom or be
-    defined by an assignment; every negated-atom variable must be bound
-    positively (checked at evaluation time).
+    Safety: every universal head variable must occur in a positive body atom
+    or be defined by an assignment; every negated-atom variable must be bound
+    positively (checked at evaluation time). ``EVar`` head variables are
+    existential (skolemized); the same EVar in several head atoms of one rule
+    denotes the SAME null. Extra head atoms go in ``extra_heads`` (nemo
+    multi-atom heads, e.g. the LCS program).
     """
 
     head: Atom
     body: list[Atom]
+    extra_heads: list[Atom] = field(default_factory=list)
     negated: list[Atom] = field(default_factory=list)
     # filters: cols -> BooleanColumn; null-valued results drop the row
     filters: list[ExprFn] = field(default_factory=list)
@@ -120,10 +135,27 @@ class Rule:
     assignments: list[tuple[str, ExprFn]] = field(default_factory=list)
     name: str | None = None
 
+    def heads(self) -> list[Atom]:
+        return [self.head, *self.extra_heads]
+
+    def existential_vars(self) -> list["EVar"]:
+        from nemo_spark.model.rules import EVar  # self-reference for clarity
+
+        out: list[EVar] = []
+        seen: set[str] = set()
+        for h in self.heads():
+            for t in h.terms:
+                if isinstance(t, EVar) and t.name not in seen:
+                    seen.add(t.name)
+                    out.append(t)
+        return out
+
     def head_aggregate(self) -> Aggregate | None:
-        aggs = [t for t in self.head.terms if isinstance(t, Aggregate)]
+        aggs = [t for h in self.heads() for t in h.terms if isinstance(t, Aggregate)]
         if len(aggs) > 1:
             raise ValueError("at most one aggregate per rule (nemo semantics)")
+        if aggs and self.extra_heads:
+            raise ValueError("aggregates require a single head atom")
         return aggs[0] if aggs else None
 
     def body_predicates(self) -> set[str]:
@@ -159,7 +191,8 @@ class Program:
             seen[pred] = arity
 
         for r in self.rules:
-            visit(r.head.pred, r.head.arity)
+            for h in r.heads():
+                visit(h.pred, h.arity)
             for a in r.body + r.negated:
                 visit(a.pred, a.arity)
         for p, rows in self.facts.items():
@@ -168,4 +201,4 @@ class Program:
         return seen
 
     def idb_predicates(self) -> set[str]:
-        return {r.head.pred for r in self.rules}
+        return {h.pred for r in self.rules for h in r.heads()}

@@ -1,0 +1,160 @@
+"""More golden parity: arithmetic semantics + aggregate distinct/filtered/
+stratification suites from the reference's testcases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var, agg
+from nemo_spark.functions import ops
+from tests.golden import assert_golden, load_csv_facts, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available, reason="reference testcases not present")
+
+A, B, X, Y, Z, T, R = Var("A"), Var("B"), Var("X"), Var("Y"), Var("Z"), Var("T"), Var("R")
+
+
+def test_arithmetic_filter(spark):
+    # testcases/arithmetic/filter.rls — division errors drop rows
+    eng = SemiNaiveEngine(spark)
+    prog = Program(
+        rules=[
+            Rule(Atom("r0", A, B), [Atom("a", A, B)],
+                 filters=[lambda c: ops.num_division(c["A"], c["B"]) < 2]),
+            Rule(Atom("r1", X), [Atom("a", X, Y)],
+                 filters=[lambda c: ops.num_division(F.lit(2), c["Y"]) == 1]),
+            Rule(Atom("r2", X), [Atom("a", X, Y)],
+                 filters=[lambda c: ops.num_division(F.lit(2), c["Y"]) != 1]),
+            Rule(Atom("r3", X), [Atom("a", X, Y)],
+                 assignments=[("Z", lambda c: ops.num_sum(c["X"], c["Y"]))],
+                 filters=[lambda c: c["Z"] == 4]),
+            Rule(Atom("r4", X, Y), [Atom("a", X, Y)],
+                 filters=[lambda c: ops.bool_or(c["X"] > 2, c["Y"] == 0)]),
+        ],
+        facts={"a": [(1, 0), (1, 1), (2, 2), (3, 1)]},
+    )
+    eng.run(prog)
+    for p in ["r0", "r1", "r2", "r3", "r4"]:
+        assert_golden(eng.table(p), f"arithmetic/filter/{p}.csv")
+
+
+def test_arithmetic_negation(spark):
+    # testcases/arithmetic/negation.rls — negated atom over assigned variables
+    eng = SemiNaiveEngine(spark)
+    prog = Program(
+        rules=[
+            Rule(
+                Atom("r", X, Y),
+                [Atom("a", X, Y)],
+                assignments=[
+                    ("Z", lambda c: ops.num_subtraction(c["Y"], c["X"])),
+                    ("R", lambda c: ops.num_product(F.lit(2), c["Z"])),
+                    ("T", lambda c: ops.num_product(F.lit(3), c["Z"])),
+                ],
+                filters=[lambda c: c["Z"] != 2, lambda c: c["R"] != 14],
+                negated=[Atom("b", Z, T, T)],
+            )
+        ],
+        facts={
+            "a": [(0, 3), (1, 2), (2, 3), (2, 4), (3, 10)],
+            "b": [(1, 3, 3), (3, 1, 5), (3, 4, 4)],
+        },
+    )
+    eng.run(prog)
+    assert_golden(eng.table("r"), "arithmetic/negation/r.csv")
+
+
+def test_arithmetic_numeric_bounds(spark):
+    # testcases/arithmetic/numeric_bounds.rls
+    eng = SemiNaiveEngine(spark)
+    eng.register("data", load_csv_facts(spark, "arithmetic/sources/data.csv", 2, types="ii"))
+    d = [Atom("data", X, Y)]
+    prog = Program(
+        rules=[
+            Rule(Atom("x_less_than_three", X, Y), d, filters=[lambda c: c["X"] < 3]),
+            Rule(Atom("y_less_than_eq_five", X, Y), d, filters=[lambda c: c["Y"] <= 5]),
+            Rule(Atom("y_equals_nine", X, Y), d, filters=[lambda c: c["Y"] == 9]),
+            Rule(Atom("x_greater_than_five", X, Y), d, filters=[lambda c: c["X"] > 5]),
+            Rule(Atom("y_greater_than_eq_seven", X, Y), d, filters=[lambda c: c["Y"] >= 7]),
+            Rule(Atom("x_unequals_three", X, Y), d, filters=[lambda c: c["X"] != 3]),
+            Rule(Atom("y_unequals_five", X, Y), d, filters=[lambda c: c["Y"] != 5]),
+            Rule(
+                Atom("complex", X, Y), d,
+                filters=[lambda c: ops.num_absolute(ops.num_subtraction(c["X"], c["Y"])) >= ops.num_product(c["X"], c["X"])],
+            ),
+        ]
+    )
+    eng.run(prog)
+    for p in ["x_less_than_three", "y_less_than_eq_five", "y_equals_nine", "x_greater_than_five",
+              "y_greater_than_eq_seven", "x_unequals_three", "y_unequals_five", "complex"]:
+        assert_golden(eng.table(p), f"arithmetic/numeric_bounds/{p}.csv")
+
+
+def test_aggregate_distinct(spark):
+    # testcases/aggregate/distinct.rls — distinct-qualified aggregates
+    X1, X2, X3, X4 = Var("X1"), Var("X2"), Var("X3"), Var("X4")
+    S = Var("S")
+    eng = SemiNaiveEngine(spark)
+    eng.register("sourceA", load_csv_facts(spark, "aggregate/sources/dataA.csv", 3, types="iii"))
+    eng.register("sourceB", load_csv_facts(spark, "aggregate/sources/dataB.csv", 4, types="iiii"))
+    eng.register("sourceC", load_csv_facts(spark, "aggregate/sources/dataC.csv", 1, types="i"))
+    eng.register("sourceD", load_csv_facts(spark, "aggregate/sources/dataD.csv", 2, types="ii"))
+    sa = [Atom("sourceA", X, Y, Z)]
+    prog = Program(
+        rules=[
+            Rule(Atom("r0", agg.count(X, distinct=[Y])), sa),
+            Rule(Atom("r1", agg.count(X, distinct=[Y, Z])), sa),
+            Rule(Atom("r2", X, agg.count(Y, distinct=[Z])), sa),
+            Rule(Atom("r3", X1, agg.sum(X2, distinct=[X4])), [Atom("sourceB", X1, X2, X3, X4)]),
+            Rule(Atom("r4", agg.count(X, distinct=[X])), sa),
+            Rule(Atom("r5", X, agg.count(Y, distinct=[Z, X])), sa),
+            Rule(Atom("r6", agg.max(X, distinct=[X])), [Atom("sourceC", X)]),
+            Rule(
+                Atom("r7", agg.sum(S, distinct=[A, A])),
+                [Atom("sourceD", A, B)],
+                assignments=[("S", lambda c: ops.num_sum(c["A"], c["B"]))],
+            ),
+            Rule(Atom("r8", agg.max(B, distinct=[A, A])), [Atom("sourceD", A, B)]),
+            Rule(Atom("r9", agg.max(A, distinct=[A])), [Atom("sourceD", A, B)]),
+        ]
+    )
+    eng.run(prog)
+    for i in range(10):
+        assert_golden(eng.table(f"r{i}"), f"aggregate/distinct/r{i}.csv")
+
+
+def test_aggregate_filtered(spark):
+    # testcases/aggregate/filtered.rls — self-join + comparison under count
+    W1, W2, W3, W4 = Var("W1"), Var("W2"), Var("W3"), Var("W4")
+    eng = SemiNaiveEngine(spark)
+    eng.register("sourceA", load_csv_facts(spark, "aggregate/sources/dataA.csv", 3, types="iii"))
+    prog = Program(
+        rules=[
+            Rule(
+                Atom("r0", X, agg.count(Y)),
+                [Atom("sourceA", X, W1, W2), Atom("sourceA", Y, W3, W4)],
+                filters=[lambda c: c["X"] > c["Y"]],
+            )
+        ]
+    )
+    eng.run(prog)
+    assert_golden(eng.table("r0"), "aggregate/filtered/r0.csv")
+
+
+def test_aggregate_stratification(spark):
+    # testcases/aggregate/stratification.rls — aggregate feeding a positive
+    # recursion, second aggregate above it
+    eng = SemiNaiveEngine(spark)
+    prog = Program(
+        rules=[
+            Rule(Atom("r1", agg.max(X)), [Atom("r0", X)]),
+            Rule(Atom("r2", X), [Atom("r1", X)]),
+            Rule(Atom("r1", X), [Atom("r2", X)]),
+            Rule(Atom("r3", agg.count(X)), [Atom("r1", X)]),
+        ],
+        facts={"r0": [(1,), (2,), (3,)], "r1": [(2,)], "r2": [(8,), (10,)]},
+    )
+    eng.run(prog)
+    for p in ["r1", "r2", "r3"]:
+        assert_golden(eng.table(p), f"aggregate/stratification/{p}.csv")

@@ -1,0 +1,87 @@
+"""Incremental/streaming fixpoint maintenance + multimodal plumbing."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var
+from nemo_spark.ops.multimodal import extract_features, resize_metadata, synth_assets
+from nemo_spark.streaming.incremental import stream_facts_into
+
+X, Y, Z = Var("X"), Var("Y"), Var("Z")
+
+TC_PROG = Program(
+    rules=[
+        Rule(Atom("tc", X, Y), [Atom("edge", X, Y)]),
+        Rule(Atom("tc", X, Z), [Atom("tc", X, Y), Atom("edge", Y, Z)]),
+    ]
+)
+
+
+def _tc(pairs):
+    """python transitive closure oracle"""
+    closure = set(pairs)
+    while True:
+        new = {(a, d) for a, b in closure for c, d in pairs if b == c} - closure
+        if not new:
+            return closure
+        closure |= new
+
+
+def test_incremental_extend_matches_full_run(spark):
+    base = [(1, 2), (2, 3), (5, 6)]
+    extra = [(3, 4), (6, 1)]
+    eng = SemiNaiveEngine(spark)
+    eng.register("edge", spark.createDataFrame(base, ["a", "b"]))
+    eng.run(TC_PROG)
+    # incremental: new edges continue the fixpoint from deltas only
+    eng.extend(TC_PROG, {"edge": spark.createDataFrame(extra, ["a", "b"])})
+    got = {(r.c0, r.c1) for r in eng.table("tc").collect()}
+    want = _tc(set(base) | set(extra))
+    assert got == want
+
+
+def test_streaming_facts(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame([(1, 2), (2, 3)], "a long, b long").write.parquet(str(src / "f1"))
+    spark.createDataFrame([(3, 4)], "a long, b long").write.parquet(str(src / "f2"))
+
+    eng = SemiNaiveEngine(spark)
+    eng.register("edge", spark.createDataFrame([], "a long, b long"))
+    eng.run(TC_PROG)
+
+    stream = spark.readStream.schema("a long, b long").option("recursiveFileLookup", "true").parquet(str(src))
+    q = stream_facts_into(
+        eng, TC_PROG, stream, "edge", checkpoint_location=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {(r.c0, r.c1) for r in eng.table("tc").collect()}
+    assert got == _tc({(1, 2), (2, 3), (3, 4)})
+
+
+def test_multimodal_features(spark):
+    assets = synth_assets(spark, 300)
+    feats = extract_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 300
+    assert all(r.ok for r in rows)
+    assert all(len(r.feat) == 32 for r in rows)
+    video_frames = {r.asset_id: r.n_frames for r in rows if r.modality == "video"}
+    assert video_frames and all(n >= 1 for n in video_frames.values())
+    # deterministic: same input -> same features
+    again = {r.asset_id: r.feat for r in extract_features(assets).collect()}
+    sample = rows[0]
+    assert again[sample.asset_id] == sample.feat
+
+
+def test_multimodal_resize_plan(spark):
+    assets = synth_assets(spark, 200)
+    plan = resize_metadata(assets, max_side=256)
+    bad = plan.filter(
+        (F.greatest("target_w", "target_h") > 256)
+        | ((F.col("needs_resize") == False) & ((F.col("target_w") != F.col("width"))))  # noqa: E712
+    )
+    assert bad.isEmpty()

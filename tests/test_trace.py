@@ -1,0 +1,45 @@
+"""Provenance / tracing: which rule derived a fact, at which round.
+
+nemo analogue: fact tracing over step-tagged subtables
+(``nemo/src/execution/tracing/trace.rs``, wasm ``traceTreeForTable``)."""
+
+from __future__ import annotations
+
+from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var
+
+X, Y, Z = Var("X"), Var("Y"), Var("Z")
+
+
+def test_trace_fact_and_provenance_table(spark):
+    eng = SemiNaiveEngine(spark, trace=True)
+    eng.register("edge", spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"]))
+    eng.run(
+        Program(
+            rules=[
+                Rule(Atom("tc", X, Y), [Atom("edge", X, Y)], name="base"),
+                Rule(Atom("tc", X, Z), [Atom("tc", X, Y), Atom("edge", Y, Z)], name="step"),
+            ]
+        )
+    )
+    # direct edge: derived by the base rule at round 0
+    t = eng.trace_fact("tc", (1, 2))
+    assert len(t) == 1 and t[0]["rule"] == "base" and t[0]["round"] == 0
+
+    # two-hop: derived by the recursive rule (round 0 already sees base facts
+    # merged sequentially within the round)
+    t = eng.trace_fact("tc", (1, 3))
+    assert len(t) == 1 and "step" in t[0]["rule"]
+
+    # three-hop later than two-hop
+    t13 = eng.trace_fact("tc", (1, 3))[0]["round"]
+    t14 = eng.trace_fact("tc", (1, 4))[0]["round"]
+    assert t14 > t13
+
+    # unknown fact: no provenance
+    assert eng.trace_fact("tc", (4, 1)) == []
+
+    prov = eng.provenance_table()
+    assert prov is not None
+    rows = prov.collect()
+    assert {r.rule for r in rows} >= {"base"}
+    assert len(rows) == 6  # tc closure of a 4-chain: 3+2+1 facts
