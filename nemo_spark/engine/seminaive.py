@@ -100,6 +100,11 @@ class SemiNaiveEngine:
         # ExecutionTraceTree lookups (nemo/src/execution/tracing/trace.rs)
         self._provenance: list[tuple[str, str, int, int, DataFrame]] = []
         self._tables: dict[str, DataFrame] = {}
+        # exact row counts per table, maintained at merge time: checkpointed
+        # plans lose Catalyst statistics, so without explicit hints every
+        # fixpoint join degrades to a shuffle join — we know the counts for
+        # free and broadcast the small side ourselves
+        self._table_counts: dict[str, int] = {}
         self._arity: dict[str, int] = {}
         self.stats = EngineStats()
 
@@ -111,6 +116,7 @@ class SemiNaiveEngine:
         df = df.toDF(*_cols(n)).dropDuplicates()
         self._tables[pred] = df
         self._arity[pred] = n
+        self._table_counts[pred] = df.count()
 
     def has_table(self, pred: str) -> bool:
         return pred in self._tables
@@ -178,6 +184,7 @@ class SemiNaiveEngine:
         for p, rows in program.facts.items():
             df = self.spark.createDataFrame(rows, _cols(self._arity[p]))
             self._tables[p] = self._tables[p].unionByName(df).dropDuplicates() if p in self._tables else df
+            self._table_counts[p] = self._tables[p].count()
 
         for stratum_idx, rules in enumerate(stratify(program)):
             self._run_stratum(stratum_idx, rules)
@@ -310,12 +317,29 @@ class SemiNaiveEngine:
                     t_eval[hp] = t_eval.get(hp, 0.0) + (time.time() - t0)
             next_delta: dict[str, DataFrame] = {}
             next_counts: dict[str, int] = {}
-            for hp, derived in per_pred.items():
+            # merges of distinct predicates are independent: run them as
+            # concurrent Spark jobs (driver threads) — a round's latency is
+            # then max(merge) instead of sum(merge). The single-threaded
+            # reference applies one rule at a time; this is the distributed
+            # engine's structural win on wide programs.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def do_merge(item):
+                hp, derived = item
                 t0 = time.time()
                 fresh, cnt = self._merge(hp, derived)
+                return hp, fresh, cnt, time.time() - t0
+
+            items = list(per_pred.items())
+            if len(items) > 1:
+                with ThreadPoolExecutor(max_workers=min(len(items), 12)) as ex:
+                    results = list(ex.map(do_merge, items))
+            else:
+                results = [do_merge(i) for i in items]
+            for hp, fresh, cnt, wall in results:
                 self._record(
                     stratum_idx, round_idx, "+".join(per_pred_rules[hp]), cnt,
-                    t_eval.get(hp, 0.0) + (time.time() - t0),
+                    t_eval.get(hp, 0.0) + wall,
                 )
                 if cnt:
                     if self.trace:
@@ -355,7 +379,11 @@ class SemiNaiveEngine:
                 if atom.pred not in self._tables:
                     return None
                 src = self._tables[atom.pred]
-                small = False
+                small = (
+                    i > 0
+                    and self._table_counts.get(atom.pred, self.broadcast_threshold + 1)
+                    <= self.broadcast_threshold
+                )
             adf = self._bind_atom(src, atom)
             if small:
                 adf = F.broadcast(adf)
@@ -391,6 +419,8 @@ class SemiNaiveEngine:
             if not keys:
                 raise ValueError(f"unsafe negation in rule {rule.name}: no shared variables")
             ndf = ndf.select(*keys).dropDuplicates()
+            if self._table_counts.get(natom.pred, self.broadcast_threshold + 1) <= self.broadcast_threshold:
+                ndf = F.broadcast(ndf)
             bound = bound.join(ndf, on=keys, how="left_anti")
 
         aggregate = rule.head_aggregate()
@@ -505,11 +535,13 @@ class SemiNaiveEngine:
             cnt = fresh.count()
             if cnt:
                 self._tables[pred] = existing.unionByName(fresh)
+                self._table_counts[pred] = self._table_counts.get(pred, 0) + cnt
         else:
             fresh = derived.dropDuplicates().localCheckpoint(eager=False)
             cnt = fresh.count()
             if cnt:
                 self._tables[pred] = fresh
+                self._table_counts[pred] = cnt
         return fresh, cnt
 
     def _checkpoint(self, pred: str, df: DataFrame, round_idx: int) -> DataFrame:
