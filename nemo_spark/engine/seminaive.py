@@ -87,6 +87,7 @@ class SemiNaiveEngine:
         checkpoint_store: Any | None = None,
         max_rounds: int = 10_000,
         trace: bool = False,
+        chase: str = "restricted",  # 'restricted' (nemo default) | 'skolem'
     ) -> None:
         self.spark = spark
         self.broadcast_threshold = broadcast_threshold
@@ -94,6 +95,9 @@ class SemiNaiveEngine:
         self.checkpoint_store = checkpoint_store
         self.max_rounds = max_rounds
         self.trace = trace
+        if chase not in ("restricted", "skolem"):
+            raise ValueError(f"unknown chase variant: {chase}")
+        self.chase = chase
         # provenance: (pred, rule_label, stratum, round, fresh facts) — the
         # Spark analogue of nemo's step-tagged subtables
         # (nemo/src/table_manager.rs:67), queried by trace_fact like nemo's
@@ -431,6 +435,13 @@ class SemiNaiveEngine:
         # hash over the frontier (universal head vars), shared by all head
         # atoms of this rule (nemo Null op, tabular/operations/null.rs:152)
         evars = rule.existential_vars()
+        if evars and self.chase == "restricted":
+            # restricted chase (nemo default,
+            # execution/planning/strategy/forward/restricted.rs): only
+            # instantiate fresh nulls for bindings whose head conjunction is
+            # not ALREADY satisfiable with existing facts — anti-join the
+            # frontier against the joined head-atom matches
+            bound = self._restricted_filter(rule, bound, bound_vars)
         if evars:
             frontier = sorted(
                 {
@@ -455,6 +466,34 @@ class SemiNaiveEngine:
             proj = self._project_head(bound, h)
             out[h.pred] = out[h.pred].unionByName(proj) if h.pred in out else proj
         return out
+
+    def _restricted_filter(self, rule: Rule, bound: DataFrame, bound_vars: list[str]) -> DataFrame:
+        """Drop bindings whose head conjunction is already satisfied by
+        existing facts (with any witness for the existential variables)."""
+        match: DataFrame | None = None
+        for h in rule.heads():
+            if h.pred not in self._tables:
+                return bound  # some head atom has no facts: nothing satisfied
+            m = self._bind_atom(self._tables[h.pred], h)
+            if match is None:
+                match = m
+            else:
+                common = [c for c in match.columns if c in set(m.columns)]
+                match = match.join(m, on=common, how="inner") if common else match.crossJoin(m)
+        assert match is not None
+        frontier = sorted(
+            {
+                t.name
+                for h in rule.heads()
+                for t in h.terms
+                if isinstance(t, Var) and not isinstance(t, EVar) and t.name in bound_vars
+            }
+        )
+        if not frontier:
+            # no universal vars: blocked entirely iff the conjunction holds
+            return bound.limit(0) if not match.isEmpty() else bound
+        sat = match.select(*frontier).dropDuplicates()
+        return bound.join(sat, on=frontier, how="left_anti")
 
     def _bind_atom(self, df: DataFrame, atom: Atom) -> DataFrame:
         """Rename positional cols to variable names; constants -> filters;
