@@ -367,6 +367,32 @@ def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return fingerprint(_t(spark, sf, "documents")).select("doc_id", "fp_md5")
 
 
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.ops.similarity import embedding_near_dups
+
+    nd = embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.35)
+    return nd.select("a", "b", F.round("score", 6).alias("score"))
+
+
+def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Window functions over the event stream: per-user ordering, gap to
+    previous event, session-start flag (gap > 1h). (No windows exist in the
+    reference — this is training-pipeline surface, like kg_turns_per_conv.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf, "events")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    gap = epoch - F.lag(epoch).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        gap.alias("gap_sec"),
+        F.coalesce(gap > 3600.0, F.lit(True)).alias("session_start"),
+    )
+
+
 def q_knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     # ANN path (rows-only: recall property covered by pytest)
     from nemo_spark.ops.similarity import bucketed_topk
@@ -427,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "knn_cosine": q_knn_cosine,
         "knn_bucketed": q_knn_bucketed,
+        "embedding_near_dups": q_embedding_near_dups,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -565,6 +593,22 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(array_to_string(string_split(text, ' '), ' ')) AS fp_md5
             FROM documents
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "events_sessions": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS INTEGER) AS rn,
+                   epoch(ts) - lag(epoch(ts)) OVER w AS gap_sec,
+                   COALESCE(epoch(ts) - lag(epoch(ts)) OVER w > 3600.0, TRUE) AS session_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "knn_cosine": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

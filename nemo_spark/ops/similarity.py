@@ -73,6 +73,37 @@ def pandas_cosine_scores(
     return embeddings.select(id_col, vec_col).mapInPandas(score, schema=f"{id_col} long, score double")
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, score) with a < b and
+    cosine >= threshold.
+
+    Exact mode joins all pairs (quadratic — fine for dimension-sized or
+    per-bucket sets). ``use_lsh=True`` is the scale path: only pairs sharing
+    a random-hyperplane LSH bucket are scored, turning the self-join into a
+    bucket-local one (recall < 1 near the threshold boundary)."""
+    src = embeddings.select(F.col(id_col), F.col(vec_col))
+    if use_lsh:
+        dim = len(src.first()[vec_col])
+        src = lsh_buckets(src, n_planes=n_planes, dim=dim, vec_col=vec_col)
+        join_cond = ["bucket"]
+        a = src.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "bucket")
+        b = src.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "bucket")
+        pairs = a.join(b, on=join_cond).filter(F.col("a") < F.col("b"))
+    else:
+        a = src.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+        b = src.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+        pairs = a.join(b, a["a"] < b["b"])
+    scored = pairs.withColumn("score", cosine(F.col("__va"), F.col("__vb")))
+    return scored.filter(F.col("score") >= threshold).select("a", "b", "score")
+
+
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH bucket id per row (deterministic planes).
 
