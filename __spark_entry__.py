@@ -257,7 +257,8 @@ def q_kg_linked(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_kg_link_scored(spark: SparkSession, sf: str) -> DataFrame:
-    # fuzzy Jaccard candidates (no SQL oracle: covered by pytest ground truth)
+    # fuzzy Jaccard candidates; DuckDB oracle replicates blocking + 3-gram
+    # Jaccard + best-candidate tie-breaking
     from nemo_spark.kg.extract import extract_triples_pandas
     from nemo_spark.kg.link import best_candidate, link_scored
     from nemo_spark.kg.transcripts import alias_dict
@@ -268,7 +269,8 @@ def q_kg_link_scored(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicates()
     )
     scored = link_scored(m, alias_dict(spark), min_score=0.5)
-    return best_candidate(scored, ["mention"])
+    best = best_candidate(scored, ["mention"])
+    return best.select("mention", "entity_id", F.round("score", 6).alias("score"))
 
 
 def q_kg_alias_dict(spark: SparkSession, sf: str) -> DataFrame:
@@ -354,11 +356,11 @@ def q_dedup_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    # no SQL oracle (xxhash64 is Spark-specific); driver rows-only check,
-    # semantics covered by pytest
-    from nemo_spark.ops.dedup import simhash64
+    # md5-derived SimHash: bit-portable to DuckDB (oracle-checked); the
+    # xxhash64 variant (simhash64) remains as the pure-Spark fast path
+    from nemo_spark.ops.dedup import simhash_hex
 
-    return simhash64(_t(spark, sf, "documents"))
+    return simhash_hex(_t(spark, sf, "documents"))
 
 
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -368,9 +370,11 @@ def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # banded-LSH default (equi-join on (band, signature) buckets — no
+    # BroadcastNestedLoopJoin); the oracle replicates the exact same planes
     from nemo_spark.ops.similarity import embedding_near_dups
 
-    nd = embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.35)
+    nd = embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.35, dim=64)
     return nd.select("a", "b", F.round("score", 6).alias("score"))
 
 
@@ -394,7 +398,7 @@ def q_events_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
-    # ANN path (rows-only: recall property covered by pytest)
+    # ANN path; integer-hash planes make the bucket reproducible in DuckDB
     from nemo_spark.ops.similarity import bucketed_topk
 
     emb = _t(spark, sf, "embeddings")
@@ -590,18 +594,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _DEDUP_MINHASH_SQL,
         "dedup_lsh_pairs": _DEDUP_LSH_PAIRS_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
+        "dedup_simhash": _simhash_sql(),
+        "kg_link_scored": _KG_LINK_SCORED_SQL,
+        "knn_bucketed": _knn_bucketed_sql(),
         "text_fingerprint": """
             SELECT doc_id, md5(array_to_string(string_split(text, ' '), ' ')) AS fp_md5
             FROM documents
         """,
-        "embedding_near_dups": """
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS score
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
-        """,
+        "embedding_near_dups": _near_dups_sql(threshold=0.35, dim=64),
         "events_sessions": """
             SELECT event_id, user_id,
                    CAST(row_number() OVER w AS INTEGER) AS rn,
@@ -621,6 +621,97 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY score DESC, vec_id LIMIT 10
         """,
     }
+
+
+def _simhash_sql() -> str:
+    from nemo_spark.ops.dedup import simhash_hex_oracle_sql
+
+    return simhash_hex_oracle_sql()
+
+
+def _near_dups_sql(threshold: float, dim: int, n_bands: int = 8, band_planes: int = 4) -> str:
+    """DuckDB replica of the banded-LSH near-dup plan: identical integer-hash
+    plane literals, identical band signatures, same cosine verify."""
+    from nemo_spark.ops.similarity import plane_component
+
+    sig_exprs = []
+    for band in range(n_bands):
+        parts = []
+        for p in range(band_planes):
+            lits = ", ".join(repr(plane_component(band * band_planes + p, j)) for j in range(dim))
+            parts.append(f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {1 << p} ELSE 0 END)")
+        sig_exprs.append(" + ".join(parts) + f" AS sig{band}")
+    band_match = " OR ".join(f"a.sig{i} = b.sig{i}" for i in range(n_bands))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, {", ".join(sig_exprs)} FROM e),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({band_match})
+),
+sc AS (
+  SELECT c.a, c.b, list_cosine_similarity(ea.v, eb.v) AS score
+  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+)
+SELECT a, b, ROUND(score, 6) AS score FROM sc WHERE score >= {threshold}
+"""
+
+
+def _knn_bucketed_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    from nemo_spark.ops.similarity import plane_component
+
+    parts = []
+    for p in range(n_planes):
+        lits = ", ".join(repr(plane_component(p, j)) for j in range(dim))
+        parts.append(f"(CASE WHEN list_dot_product(v, [{lits}]) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(parts)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, list_cosine_similarity(v, (SELECT qv FROM q)) AS score
+  FROM b WHERE vec_id <> 0 AND bucket = (SELECT qb FROM q)
+)
+SELECT vec_id, ROUND(score, 6) AS score FROM scored ORDER BY score DESC, vec_id LIMIT {k}
+"""
+
+
+def _kg_link_scored_sql() -> str:
+    """DuckDB replica of link_scored + best_candidate: first-char blocking,
+    char-3gram Jaccard >= 0.5, best = max score then min entity_id."""
+    from nemo_spark.kg.extract import TRIPLE_RE
+    from nemo_spark.kg.transcripts import ALIAS_DICT_CTES, TRANSCRIPTS_SQL
+
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length({c}) - 2, 1) + 1), "
+        "i -> substr({c}, CAST(i AS INTEGER), 3)))"
+    )
+    return f"""
+WITH {ALIAS_DICT_CTES},
+ext AS (
+  SELECT DISTINCT regexp_extract(text, '{TRIPLE_RE}', 1) AS mention
+  FROM ({TRANSCRIPTS_SQL})
+  WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
+),
+mg AS (SELECT mention, {grams.format(c="mention")} AS g, substr(mention, 1, 1) AS blk FROM ext),
+ag AS (SELECT alias, entity_id, {grams.format(c="alias")} AS g, substr(alias, 1, 1) AS blk FROM ad),
+sc AS (
+  SELECT m.mention, a.entity_id,
+         CAST(len(list_intersect(m.g, a.g)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(m.g, a.g))) AS DOUBLE) AS score
+  FROM mg m JOIN ag a ON m.blk = a.blk
+),
+best AS (
+  SELECT mention, entity_id, score,
+         row_number() OVER (PARTITION BY mention ORDER BY score DESC, entity_id) AS rn
+  FROM sc WHERE score >= 0.5
+)
+SELECT mention, entity_id, ROUND(score, 6) AS score FROM best WHERE rn = 1
+"""
+
+
+_KG_LINK_SCORED_SQL = _kg_link_scored_sql()
 
 
 _MINHASH_CTES = """

@@ -110,6 +110,9 @@ class SemiNaiveEngine:
         # free and broadcast the small side ourselves
         self._table_counts: dict[str, int] = {}
         self._arity: dict[str, int] = {}
+        # column types per predicate, recorded at register/first-merge so
+        # never-derived predicates still return a correctly-typed empty frame
+        self._schemas: dict[str, Any] = {}
         self.stats = EngineStats()
 
     # ------------------------------------------------------------------ setup
@@ -120,6 +123,7 @@ class SemiNaiveEngine:
         df = df.toDF(*_cols(n)).dropDuplicates()
         self._tables[pred] = df
         self._arity[pred] = n
+        self._schemas[pred] = df.schema
         self._table_counts[pred] = df.count()
 
     def has_table(self, pred: str) -> bool:
@@ -129,7 +133,7 @@ class SemiNaiveEngine:
         """Facts of a predicate (columns c0..cn-1). Empty-typed table if the
         predicate was never derived."""
         if pred not in self._tables:
-            return self._empty(self._arity.get(pred, 1))
+            return self._empty(self._arity.get(pred, 1), pred)
         return self._tables[pred]
 
     def tables(self) -> dict[str, DataFrame]:
@@ -219,7 +223,17 @@ class SemiNaiveEngine:
         strata = stratify(program)
         monotone = all(not r.negated and r.head_aggregate() is None for s in strata for r in s)
         if not monotone:
-            # non-monotone: recompute (correct, not incremental)
+            # non-monotone: stale IDB facts derived under negation/aggregates
+            # cannot be retracted from append-only tables — reset all IDB
+            # state (tables, counts, provenance) and recompute from the EDB.
+            # Predicates that just received injected facts keep those facts
+            # (they act as EDB for the re-run).
+            idb = {h.pred for s in strata for r in s for h in r.heads()}
+            reset = idb - set(new_facts.keys())
+            for p in reset:
+                self._tables.pop(p, None)
+                self._table_counts.pop(p, None)
+            self._provenance = [rec for rec in self._provenance if rec[0] not in reset]
             for stratum_idx, rules in enumerate(strata):
                 self._run_stratum(stratum_idx, rules)
             return self.stats
@@ -540,8 +554,15 @@ class SemiNaiveEngine:
         proj = _uniq_str(group_vars + extra + [aggregate.var.name])
         deduped = bound.select(*proj).dropDuplicates()
         agg_col = _AGG_FN[aggregate.op](F.col(aggregate.var.name))
-        if aggregate.op in ("sum", "count"):
+        if aggregate.op == "count":
             agg_col = agg_col.cast("long")
+        elif aggregate.op == "sum":
+            # nemo's #sum keeps the operand's numeric type (sum of doubles is
+            # a double) — only integral inputs get the exact i64 sum
+            from pyspark.sql.types import IntegralType
+
+            if isinstance(deduped.schema[aggregate.var.name].dataType, IntegralType):
+                agg_col = agg_col.cast("long")
         agg_alias = "__agg__"
         res = deduped.groupBy(*group_vars).agg(agg_col.alias(agg_alias)) if group_vars else deduped.agg(agg_col.alias(agg_alias))
         exprs = []
@@ -568,8 +589,16 @@ class SemiNaiveEngine:
         # checkpoint + count = ONE materializing job per merge.
         if pred in self._tables:
             existing = self._tables[pred]
-            fresh = derived.dropDuplicates().join(
-                existing, on=list(existing.columns), how="left_anti"
+            # null-safe per-column condition: a plain `on=columns` anti-join
+            # never matches rows with SQL NULLs, so such facts would be
+            # re-derived as "fresh" every round and the fixpoint would spin
+            d = derived.dropDuplicates().alias("__d")
+            cond = None
+            for c in existing.columns:
+                cc = F.col(f"__d.{c}").eqNullSafe(F.col(f"__e.{c}"))
+                cond = cc if cond is None else (cond & cc)
+            fresh = d.join(
+                existing.alias("__e"), on=cond, how="left_anti"
             ).localCheckpoint(eager=False)
             cnt = fresh.count()
             if cnt:
@@ -578,6 +607,7 @@ class SemiNaiveEngine:
         else:
             fresh = derived.dropDuplicates().localCheckpoint(eager=False)
             cnt = fresh.count()
+            self._schemas.setdefault(pred, fresh.schema)
             if cnt:
                 self._tables[pred] = fresh
                 self._table_counts[pred] = cnt
@@ -594,7 +624,9 @@ class SemiNaiveEngine:
         self.stats.per_rule.append(RoundMetrics(stratum, round_idx, rule, cnt, wall))
         log.debug("stratum=%d round=%d rule=%s derived=%d %.2fs", stratum, round_idx, rule, cnt, wall)
 
-    def _empty(self, arity: int) -> DataFrame:
+    def _empty(self, arity: int, pred: str | None = None) -> DataFrame:
+        if pred is not None and pred in self._schemas:
+            return self.spark.createDataFrame([], self._schemas[pred])
         schema = ", ".join(f"c{i} string" for i in range(max(arity, 1)))
         return self.spark.createDataFrame([], schema)
 

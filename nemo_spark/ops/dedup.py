@@ -143,6 +143,72 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: 
     return vdf.select(F.col(id_col), out.alias("simhash"))
 
 
+def simhash_hex(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 1) -> DataFrame:
+    """64-bit SimHash as a 16-char hex string, md5-derived and therefore
+    bit-portable to any engine with md5 (the oracle-checkable variant of
+    :func:`simhash64`, which uses Spark-only xxhash64).
+
+    Bit (j, b) of the signature (nibble j = 0..15, bit b = 0..3) is the
+    majority over token hashes of bit b of hex nibble j of md5(token).
+    Output nibble j = sum of winning bits' weights, rendered as hex."""
+    sh = token_shingles(F.col(text_col), k) if k > 1 else F.array_distinct(tokens(F.col(text_col)))
+    hdf = df.select(
+        F.col(id_col), F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8"))).alias("__h")
+    )
+
+    def nibble_val(h: Column, j: int) -> Column:
+        a = F.ascii(F.substring(h, j + 1, 1))  # '0'-'9' => 48-57, 'a'-'f' => 97-102
+        return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+    def vote(j: int, b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(nibble_val(h, j), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    vdf = hdf.select(
+        F.col(id_col),
+        *[
+            F.aggregate(F.col("__h"), F.lit(0).cast("long"), vote(j, b)).alias(f"__v{j}_{b}")
+            for j in range(16)
+            for b in range(4)
+        ],
+    )
+    hex_chars = []
+    for j in range(16):
+        v = F.lit(0)
+        for b in range(4):
+            v = v + F.when(F.col(f"__v{j}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        hex_chars.append(F.substr(F.lit("0123456789abcdef"), v + 1, F.lit(1)))
+    return vdf.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
+
+
+def simhash_hex_oracle_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB SQL computing exactly :func:`simhash_hex` (same md5 nibbles,
+    same majority votes, same hex rendering)."""
+    votes = []
+    for j in range(16):
+        nv = (
+            f"(CASE WHEN ascii(substr(x, {j + 1}, 1)) <= 57 "
+            f"THEN ascii(substr(x, {j + 1}, 1)) - 48 "
+            f"ELSE ascii(substr(x, {j + 1}, 1)) - 87 END)"
+        )
+        for b in range(4):
+            votes.append(
+                f"COALESCE(list_sum(list_transform(h, x -> "
+                f"CASE WHEN ({nv} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)), 0) AS v{j}_{b}"
+            )
+    nibbles = []
+    for j in range(16):
+        weights = " + ".join(f"(CASE WHEN v{j}_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(4))
+        nibbles.append(f"substr('0123456789abcdef', ({weights}) + 1, 1)")
+    return f"""
+WITH toksd AS (SELECT {id_col}, list_distinct(string_split({text_col}, ' ')) AS t FROM {table}),
+hs AS (SELECT {id_col}, list_transform(t, x -> md5(x)) AS h FROM toksd),
+votes AS (SELECT {id_col}, {", ".join(votes)} FROM hs)
+SELECT {id_col}, {" || ".join(nibbles)} AS simhash FROM votes
+"""
+
+
 def simhash_dedup_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Candidate pairs with identical SimHash (cheap first pass; at scale,
     rotate-and-bucket for Hamming distance <= d)."""

@@ -60,12 +60,14 @@ def transitive_closure(
         right = tc.alias("l").join(d.alias("r"), F.col("l.b") == F.col("r.a")).select(
             F.col("l.a").alias("a"), F.col("r.b").alias("b")
         )
-        fresh = (
-            left.unionByName(right)
-            .dropDuplicates()
-            .join(tc, on=["a", "b"], how="left_anti")
-            .localCheckpoint(eager=True)
-        )
+        cand = left.unionByName(right).dropDuplicates().alias("__d")
+        fresh = cand.join(
+            tc.alias("__e"),
+            # null-safe: plain key equality never matches NULL endpoints, so a
+            # null-carrying pair would be "fresh" every round (fixpoint spin)
+            F.col("__d.a").eqNullSafe(F.col("__e.a")) & F.col("__d.b").eqNullSafe(F.col("__e.b")),
+            how="left_anti",
+        ).localCheckpoint(eager=True)
         delta_cnt = fresh.count()
         if delta_cnt:
             tc = tc.unionByName(fresh).localCheckpoint(eager=True)

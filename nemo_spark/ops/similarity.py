@@ -73,52 +73,96 @@ def pandas_cosine_scores(
     return embeddings.select(id_col, vec_col).mapInPandas(score, schema=f"{id_col} long, score double")
 
 
+def plane_component(p: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1].
+
+    Pure integer arithmetic (Knuth multiplicative hash mod a Mersenne prime),
+    computed driver-side and embedded as a literal — so an external oracle
+    (DuckDB) can reproduce the exact same plane, bit-for-bit, with no libm
+    (sin/cos) cross-engine drift."""
+    h = ((p * 1_000_003 + j * 7_919 + 1) * 2_654_435_761) % 2_147_483_647
+    return h / 2_147_483_646.0 * 2.0 - 1.0
+
+
+def plane(p: int, dim: int) -> list[float]:
+    return [plane_component(p, j) for j in range(dim)]
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
-    n_planes: int = 8,
+    dim: int = 64,
+    exact: bool = False,
+    n_bands: int = 8,
+    band_planes: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, score) with a < b and
     cosine >= threshold.
 
-    Exact mode joins all pairs (quadratic — fine for dimension-sized or
-    per-bucket sets). ``use_lsh=True`` is the scale path: only pairs sharing
-    a random-hyperplane LSH bucket are scored, turning the self-join into a
-    bucket-local one (recall < 1 near the threshold boundary)."""
+    DEFAULT (scale path): banded random-hyperplane LSH — ``n_bands`` bands of
+    ``band_planes`` sign bits each; a pair is a candidate iff it agrees on all
+    bits of at least one band (band-OR, multi-probe-style recall). Candidates
+    come from an equi-self-join on (band, signature) — never an all-pairs
+    cartesian / BroadcastNestedLoopJoin — then pair-dedup and exact cosine
+    verify. Recall ≈ 1-(1-(1-θ/π)^r)^b; at the defaults > 0.999 for
+    cosine ≥ 0.9. ``dim`` is the vector dimension (a parameter — no driver
+    ``.first()`` probe mid-plan).
+
+    ``exact=True``: all-pairs quadratic path (only for dimension-sized or
+    per-bucket candidate sets — this is the correctness oracle, not the
+    100-TB plan)."""
     src = embeddings.select(F.col(id_col), F.col(vec_col))
-    if use_lsh:
-        dim = len(src.first()[vec_col])
-        src = lsh_buckets(src, n_planes=n_planes, dim=dim, vec_col=vec_col)
-        join_cond = ["bucket"]
-        a = src.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "bucket")
-        b = src.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "bucket")
-        pairs = a.join(b, on=join_cond).filter(F.col("a") < F.col("b"))
-    else:
+    if exact:
         a = src.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
         b = src.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
         pairs = a.join(b, a["a"] < b["b"])
+    else:
+        sigs = []
+        for band in range(n_bands):
+            sig = F.lit(0).cast("long")
+            for p in range(band_planes):
+                pl = F.array(
+                    *[F.lit(plane_component(band * band_planes + p, j)) for j in range(dim)]
+                )
+                sig = sig + F.when(
+                    dot(F.col(vec_col), pl) > 0, F.lit(1 << p).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            sigs.append(F.struct(F.lit(band).alias("band"), sig.alias("sig")))
+        e = src.select(
+            F.col(id_col), F.col(vec_col), F.explode(F.array(*sigs)).alias("bs")
+        ).select(F.col(id_col), F.col(vec_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "band", "sig")
+        b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "band", "sig")
+        pairs = (
+            a.join(b, on=["band", "sig"])
+            .filter(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"])  # same pair may collide in several bands
+        )
     scored = pairs.withColumn("score", cosine(F.col("__va"), F.col("__vb")))
     return scored.filter(F.col("score") >= threshold).select("a", "b", "score")
 
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH bucket id per row (deterministic planes).
-
-    Plane p component j = hash-derived pseudo-random in [-1, 1]:
-    sin(xxhash64(p, j) mod 10^6) style — stable, seedless, engine-local."""
+    """Random-hyperplane LSH bucket id per row (deterministic integer-hash
+    planes — reproducible by an external SQL oracle, see plane_component)."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[_plane_component(p, j) for j in range(dim)])
-        d = dot(F.col(vec_col), plane)
+        pl = F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
+        d = dot(F.col(vec_col), pl)
         bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return embeddings.withColumn("bucket", bucket)
 
 
-def _plane_component(p: int, j: int) -> Column:
-    return F.sin(F.lit(float(p * 1_000_003 + j * 7_919 + 1)))
+def query_bucket(query_vec: list[float], n_planes: int = 8) -> int:
+    """Driver-side bucket id of a query vector (same planes as lsh_buckets)."""
+    qb = 0
+    for p in range(n_planes):
+        d = sum(query_vec[j] * plane_component(p, j) for j in range(len(query_vec)))
+        if d > 0:
+            qb |= 1 << p
+    return qb
 
 
 def bucketed_topk(
@@ -134,13 +178,7 @@ def bucketed_topk(
     spec) so a query prunes to one partition's files."""
     dim = len(query_vec)
     with_b = lsh_buckets(embeddings, n_planes=n_planes, dim=dim, vec_col=vec_col)
-    import math
-
-    qb = 0
-    for p in range(n_planes):
-        d = sum(query_vec[j] * math.sin(float(p * 1_000_003 + j * 7_919 + 1)) for j in range(dim))
-        if d > 0:
-            qb |= 1 << p
+    qb = query_bucket(query_vec, n_planes=n_planes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = with_b.filter(F.col("bucket") == qb).select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

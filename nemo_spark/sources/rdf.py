@@ -60,13 +60,24 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_ntriples(df: DataFrame, path: str) -> None:
-    """Serialize (subj, pred, obj) to N-Triples; IRI-angle-brackets restored
-    for columns that look like IRIs, literals passed through."""
+    """Serialize (subj, pred, obj) to N-Triples. Literals (leading ``"``) and
+    blank nodes (leading ``_:``) pass through; values matching an absolute-IRI
+    pattern get angle brackets; anything else (plain strings, numbers) is
+    emitted as an escaped quoted literal — never as an invalid ``<42>`` IRI."""
+
     def term(c, always_iri: bool = False):
         col = F.col(c)
-        is_literal = col.startswith('"') | col.startswith("_:")
+        passthrough = col.startswith('"') | col.startswith("_:")
+        is_abs_iri = col.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s<>\"{}|^`\\]*$")
         wrapped = F.concat(F.lit("<"), col, F.lit(">"))
-        return wrapped if always_iri else F.when(is_literal, col).otherwise(wrapped)
+        quoted = F.concat(
+            F.lit('"'),
+            F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), r'"', r'\\"'),
+            F.lit('"'),
+        )
+        if always_iri:
+            return wrapped
+        return F.when(passthrough, col).when(is_abs_iri, wrapped).otherwise(quoted)
 
     line = F.concat_ws(" ", term("subj"), term("pred", always_iri=True), term("obj"), F.lit("."))
     df.select(line.alias("value")).write.mode("overwrite").text(path)

@@ -107,3 +107,77 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "o_totalprice" in plan.split("PushedFilters")[1][:200]
     # projection pruning: scan reads only the 3 needed columns
     assert "o_orderpriority" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_embedding_near_dups_lsh_default_plan_and_recall(spark):
+    """Banded-LSH default: plan must be an equi-join (no
+    BroadcastNestedLoopJoin / CartesianProduct), and recall vs the exact
+    all-pairs path must be high for strongly-similar vectors."""
+    from nemo_spark.ops.similarity import embedding_near_dups
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+        # planted near-dup: tiny perturbation => cosine ~ 1
+        rows.append((vid, [float(x + rng.gauss(0, 0.01)) for x in v]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    nd = embedding_near_dups(emb, threshold=0.95, dim=dim)
+    plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    got = {(r.a, r.b) for r in nd.collect()}
+    exact = {
+        (r.a, r.b)
+        for r in embedding_near_dups(emb, threshold=0.95, dim=dim, exact=True).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= exact
+    # recall of the banded-LSH candidates vs exact at cos>=0.95
+    assert len(got & exact) / len(exact) >= 0.9
+    assert got <= exact  # every reported pair is a verified true pair
+
+
+def test_extend_nonmonotone_resets_idb(spark):
+    """Non-monotone extend: facts derived under negation must be RETRACTED
+    when new EDB invalidates them (append-only re-run would keep them)."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X = Var("x")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("lonely", X), body=[Atom("node", X)], negated=[Atom("edge", X)]),
+        ]
+    )
+    eng = SemiNaiveEngine(spark)
+    eng.register("node", spark.createDataFrame([(1,), (2,)], ["a"]))
+    eng.register("edge", spark.createDataFrame([(2,)], ["a"]))
+    eng.run(prog)
+    assert {r.c0 for r in eng.table("lonely").collect()} == {1}
+    # new edge fact invalidates lonely(1)
+    eng.extend(prog, {"edge": spark.createDataFrame([(1,)], ["a"])})
+    assert {r.c0 for r in eng.table("lonely").collect()} == set()
+
+
+def test_extend_nonmonotone_aggregate_no_stale_rows(spark):
+    """Aggregate rules under extend must not keep stale aggregate values."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var, agg
+
+    X, Y = Var("x"), Var("y")
+    prog = Program(rules=[Rule(head=Atom("cnt", X, agg.count(Y)), body=[Atom("r", X, Y)])])
+    eng = SemiNaiveEngine(spark)
+    eng.register("r", spark.createDataFrame([(1, 10), (1, 11)], ["a", "b"]))
+    eng.run(prog)
+    assert {(r.c0, r.c1) for r in eng.table("cnt").collect()} == {(1, 2)}
+    eng.extend(prog, {"r": spark.createDataFrame([(1, 12)], ["a", "b"])})
+    # count=2 must be gone, only count=3 remains
+    assert {(r.c0, r.c1) for r in eng.table("cnt").collect()} == {(1, 3)}
