@@ -416,6 +416,80 @@ def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 6).alias("score"))
 
 
+# ------------------------------------------------------- rls parser surface
+
+_RLS_DEMO = """
+p(a, 1). p(b, 2). p(c, 3). p(c, 30).
+q(b).
+r(?x, ?y + 10) :- p(?x, ?y), ~q(?x), ?y >= 1 .
+s(?x, #count(?y)) :- p(?x, ?y) .
+@output r, s.
+"""
+
+_RLS_DATATYPES = """
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+v("hello"). v(42). v(-7). v(3.5). v(2.0E0). v(world). v("t"@en).
+v("2023"^^xsd:gYear). v(true).
+out(?s, ?f, ?d) :- v(?x), ?s = STR(?x), ?f = fullStr(?x), ?d = DATATYPE(?x).
+@output out.
+"""
+
+
+def q_rls_datalog(spark: SparkSession, sf: str) -> DataFrame:
+    """Run a .rls text program through the full parser -> typed-value ->
+    semi-naive pipeline (negation, arithmetic assignment, comparison filter);
+    result serialized in nemo's DSV export form."""
+    from nemo_spark.parser import RlsRunner
+
+    r = RlsRunner(spark, source=_RLS_DEMO, workdir="/tmp").run()
+    return r.serialized("r")
+
+
+def q_rls_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    from nemo_spark.parser import RlsRunner
+
+    r = RlsRunner(spark, source=_RLS_DEMO, workdir="/tmp").run()
+    return r.serialized("s")
+
+
+def q_rls_datatypes(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed value model + RDF introspection (STR / fullStr / DATATYPE) over
+    mixed-domain values; oracle rows are generated independently by the
+    driver-side Python value model (two implementations cross-checked)."""
+    from nemo_spark.parser import RlsRunner
+
+    r = RlsRunner(spark, source=_RLS_DATATYPES, workdir="/tmp").run()
+    return r.serialized("out")
+
+
+def _rls_datatypes_oracle_sql() -> str:
+    from nemo_spark.model.values import XSD, Value, from_typed_literal
+
+    vals = [
+        Value.string("hello"),
+        Value.int(42),
+        Value.int(-7),
+        Value.double(3.5),
+        Value.double(2.0),
+        Value.iri("world"),
+        Value.lang_string("t", "en"),
+        from_typed_literal("2023", XSD + "gYear"),
+        Value.boolean(True),
+    ]
+    rows = []
+    for v in vals:
+        s = Value.string(v.lexical()).dsv_any()
+        f = Value.string(v.canonical()).dsv_any()
+        d = Value.iri(v.datatype_iri()).dsv_any()
+        rows.append((s, f, d))
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    values = ", ".join(f"({q(a)}, {q(b)}, {q(c)})" for a, b, c in rows)
+    return f"SELECT * FROM (VALUES {values}) AS t(c0, c1, c2)"
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -459,6 +533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bucketed": q_knn_bucketed,
         "embedding_near_dups": q_embedding_near_dups,
         "events_sessions": q_events_sessions,
+        "rls_datalog": q_rls_datalog,
+        "rls_aggregate": q_rls_aggregate,
+        "rls_datatypes": q_rls_datatypes,
     }
 
 
@@ -595,6 +672,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": _DEDUP_LSH_PAIRS_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
+        "rls_datalog": """
+            WITH p(x, y) AS (VALUES ('a', 1), ('b', 2), ('c', 3), ('c', 30)),
+                 q(x) AS (VALUES ('b'))
+            SELECT x AS c0, CAST(y + 10 AS VARCHAR) AS c1
+            FROM p WHERE x NOT IN (SELECT x FROM q) AND y >= 1
+        """,
+        "rls_aggregate": """
+            WITH p(x, y) AS (VALUES ('a', 1), ('b', 2), ('c', 3), ('c', 30))
+            SELECT x AS c0, CAST(COUNT(DISTINCT y) AS VARCHAR) AS c1
+            FROM p GROUP BY x
+        """,
+        "rls_datatypes": _rls_datatypes_oracle_sql(),
         "kg_link_scored": _KG_LINK_SCORED_SQL,
         "knn_bucketed": _knn_bucketed_sql(),
         "text_fingerprint": """

@@ -98,11 +98,18 @@ class SemiNaiveEngine:
         if chase not in ("restricted", "skolem"):
             raise ValueError(f"unknown chase variant: {chase}")
         self.chase = chase
+        # Spark's Union constraint rewriting crashes ("key not found: c0#...")
+        # when a multi-head rule unions two projections of one bound plan
+        # (self-union) — a Catalyst bug our plans legitimately trigger.
+        # Constraint propagation buys nothing for the fixpoint plan shapes
+        # (explicit filters, checkpointed unions), so disable it.
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
         # provenance: (pred, rule_label, stratum, round, fresh facts) — the
         # Spark analogue of nemo's step-tagged subtables
         # (nemo/src/table_manager.rs:67), queried by trace_fact like nemo's
         # ExecutionTraceTree lookups (nemo/src/execution/tracing/trace.rs)
         self._provenance: list[tuple[str, str, int, int, DataFrame]] = []
+        self._rules_by_label: dict[str, Rule] = {}
         self._tables: dict[str, DataFrame] = {}
         # exact row counts per table, maintained at merge time: checkpointed
         # plans lose Catalyst statistics, so without explicit hints every
@@ -145,18 +152,109 @@ class SemiNaiveEngine:
         """Which rule derived this fact, at which stratum/round?
 
         Returns every provenance record containing the fact (EDB facts and
-        runs without ``trace=True`` yield []). nemo answers this from its
-        step-tagged subtables; we answer it from the per-round fresh frames."""
-        out = []
+        runs without ``trace=True`` yield []). Answered with ONE filtered
+        union scan over the per-round fresh frames (not one Spark job per
+        record — nemo reads its step-tagged subtables the same way)."""
+        frames = []
         for p, label, stratum, round_idx, fresh in self._provenance:
             if p != pred:
                 continue
             cond = None
             for i, v in enumerate(values):
-                c = F.col(f"c{i}") == F.lit(v)
+                c = F.col(f"c{i}").eqNullSafe(_lit_term(v))
                 cond = c if cond is None else (cond & c)
-            if not fresh.filter(cond).isEmpty():
-                out.append({"pred": pred, "rule": label, "stratum": stratum, "round": round_idx})
+            frames.append(
+                fresh.filter(cond).select(
+                    F.lit(label).alias("rule"),
+                    F.lit(stratum).alias("stratum"),
+                    F.lit(round_idx).alias("round"),
+                )
+            )
+        if not frames:
+            return []
+        allf = frames[0]
+        for f in frames[1:]:
+            allf = allf.unionByName(f)
+        return [
+            {"pred": pred, "rule": r.rule, "stratum": r.stratum, "round": r.round}
+            for r in allf.collect()
+        ]
+
+    def trace_tree(self, pred: str, values: tuple, max_depth: int = 32) -> dict | None:
+        """Recursive rule-application tree for a derived fact — the Spark
+        analogue of nemo's ExecutionTraceTree
+        (``nemo/src/execution/tracing/trace.rs:93``, wasm ``lib.rs:347``).
+
+        Returns {"fact": (pred, values), "rule": label, "premises": [...]}
+        with EDB facts as {"fact": ..., "rule": None} leaves, or None when
+        the fact is unknown. One witness body binding is reconstructed per
+        node by re-running the deriving rule's body joined against the
+        stored tables, restricted to the fact's head binding (nemo likewise
+        answers traces by querying its step-tagged subtables backward).
+        Requires ``trace=True`` at engine construction."""
+        recs = self.trace_fact(pred, values)
+        if not recs:
+            # EDB fact? verify membership for a leaf
+            if pred in self._tables:
+                cond = None
+                for i, v in enumerate(values):
+                    c = F.col(f"c{i}").eqNullSafe(_lit_term(v))
+                    cond = c if cond is None else (cond & c)
+                if not self._tables[pred].filter(cond).isEmpty():
+                    return {"fact": (pred, values), "rule": None, "premises": []}
+            return None
+        rec = min(recs, key=lambda r: (r["stratum"], r["round"]))
+        if max_depth <= 0:
+            return {"fact": (pred, values), "rule": rec["rule"], "premises": []}
+        # per-round merges join rule labels with '+': try each candidate rule
+        # until one yields a witness body binding
+        for label in rec["rule"].split("+"):
+            rule = self._rules_by_label.get(label)
+            if rule is None or all(h.pred != pred for h in rule.heads()):
+                continue
+            witness = self._body_witness(rule, pred, values)
+            if witness is None:
+                continue
+            premises = []
+            for atom in rule.body:
+                fact_vals = tuple(
+                    witness[t.name] if isinstance(t, Var) else t for t in atom.terms
+                )
+                sub = self.trace_tree(atom.pred, fact_vals, max_depth - 1)
+                premises.append(
+                    sub or {"fact": (atom.pred, fact_vals), "rule": None, "premises": []}
+                )
+            return {"fact": (pred, values), "rule": label, "premises": premises}
+        return {"fact": (pred, values), "rule": rec["rule"], "premises": []}
+
+    def _body_witness(self, rule: Rule, pred: str, values: tuple) -> dict | None:
+        """One satisfying body binding whose head projection equals the fact."""
+        derived = self._eval_rule(rule, {}, {}, use_delta_atom=None, project=False)
+        if derived is None:
+            return None
+        head = next((h for h in rule.heads() if h.pred == pred), None)
+        if head is None:
+            return None
+        cond = None
+        for i, t in enumerate(head.terms):
+            if isinstance(t, Aggregate):
+                continue
+            target = F.col(t.name) if isinstance(t, Var) else _lit_term(t)
+            c = target.eqNullSafe(_lit_term(values[i]))
+            cond = c if cond is None else (cond & c)
+        rows = (derived.filter(cond) if cond is not None else derived).limit(1).collect()
+        if not rows:
+            return None
+        return rows[0].asDict()
+
+    @staticmethod
+    def format_trace(tree: dict, indent: int = 0) -> str:
+        """ASCII rendering of a trace tree (nemo's ascii tree output)."""
+        pred, vals = tree["fact"]
+        label = f" <- {tree['rule']}" if tree.get("rule") else " (input)"
+        out = "  " * indent + f"{pred}({', '.join(map(str, vals))}){label}\n"
+        for p in tree.get("premises", []):
+            out += SemiNaiveEngine.format_trace(p, indent + 1)
         return out
 
     def provenance_table(self) -> DataFrame | None:
@@ -194,6 +292,9 @@ class SemiNaiveEngine:
             self._tables[p] = self._tables[p].unionByName(df).dropDuplicates() if p in self._tables else df
             self._table_counts[p] = self._tables[p].count()
 
+        for s in stratify(program):
+            for ri, r in enumerate(s):
+                self._rules_by_label.setdefault(r.label(ri), r)
         for stratum_idx, rules in enumerate(stratify(program)):
             self._run_stratum(stratum_idx, rules)
         return self.stats
@@ -382,7 +483,8 @@ class SemiNaiveEngine:
         delta: dict[str, DataFrame],
         delta_counts: dict[str, int],
         use_delta_atom: int | None,
-    ) -> dict[str, DataFrame] | None:
+        project: bool = True,
+    ) -> dict[str, DataFrame] | DataFrame | None:
         """Evaluate one rule body; returns {head_pred: head-layout DataFrame
         (c0..cn-1)}, or None when some positive atom's predicate has no facts
         at all. Multi-atom heads share one body evaluation and one skolem
@@ -417,11 +519,25 @@ class SemiNaiveEngine:
             raise ValueError(f"rule {rule.name}: empty body not supported")
 
         # assignments (nemo Function op: computed columns; null/error => drop,
-        # nemo-physical/src/function/definitions/numeric/integer64.rs semantics)
-        for var_name, fn in rule.assignments:
+        # nemo-physical/src/function/definitions/numeric/integer64.rs).
+        # NOTE: no per-step isNotNull filter here — the optimizer substitutes
+        # pushed-down predicates into the alias definitions, re-inlining every
+        # referenced step and exploding chained expressions exponentially
+        # (observed: a 5-step arithmetic chain grew past 10^6 nodes). Every
+        # operation propagates null operands, so error rows are dropped once,
+        # at head/aggregate projection.
+        for idx, (var_name, fn) in enumerate(rule.assignments):
             bound = bound.withColumn(var_name, fn(_colmap(bound)))
-            bound = bound.filter(F.col(var_name).isNotNull())
             bound_vars.append(var_name)
+            # Plan barrier every few steps: Catalyst re-inlines alias
+            # definitions at every reference (CollapseProject, predicate
+            # pushdown, constraint propagation), and typed-value ops
+            # reference operands ~10x each — so chained assignments re-grow
+            # exponentially however flat the user plan is. A lazy local
+            # checkpoint truncates the logical plan, bounding inline depth
+            # (the reference's StackProgram register file, by other means).
+            if (idx + 1) % 2 == 0:
+                bound = bound.localCheckpoint(eager=False)
 
         # filters (nemo Filter op; null-valued predicate drops the row)
         for fn in rule.filters:
@@ -435,7 +551,16 @@ class SemiNaiveEngine:
             ndf = self._bind_atom(self._tables[natom.pred], natom)
             keys = [v.name for v in _uniq(natom.variables()) if v.name in bound_vars]
             if not keys:
-                raise ValueError(f"unsafe negation in rule {rule.name}: no shared variables")
+                # no shared variables: the negated conjunct is propositional —
+                # if ANY match exists, every row is dropped (nemo subtracts a
+                # zero-arity table, tabular/operations/zero.rs + issue #428)
+                marker = ndf.limit(1).select(F.lit(1).alias("__nk"))
+                bound = (
+                    bound.withColumn("__nk", F.lit(1))
+                    .join(F.broadcast(marker), on="__nk", how="left_anti")
+                    .drop("__nk")
+                )
+                continue
             ndf = ndf.select(*keys).dropDuplicates()
             if self._table_counts.get(natom.pred, self.broadcast_threshold + 1) <= self.broadcast_threshold:
                 ndf = F.broadcast(ndf)
@@ -443,13 +568,17 @@ class SemiNaiveEngine:
 
         aggregate = rule.head_aggregate()
         if aggregate is not None:
+            if not project:
+                return bound
             return {rule.head.pred: self._project_aggregate(bound, rule.head, aggregate)}
 
         # existential head variables: deterministic labeled nulls — skolem
         # hash over the frontier (universal head vars), shared by all head
         # atoms of this rule (nemo Null op, tabular/operations/null.rs:152)
         evars = rule.existential_vars()
-        if evars and self.chase == "restricted":
+        if evars and self.chase == "restricted" and project:
+            # (trace witnesses skip the blocking filter: the traced fact
+            # itself would block its own re-derivation)
             # restricted chase (nemo default,
             # execution/planning/strategy/forward/restricted.rs): only
             # instantiate fresh nulls for bindings whose head conjunction is
@@ -467,14 +596,22 @@ class SemiNaiveEngine:
             )
             salt_cols = [F.col(v) for v in frontier] or [F.lit(0)]
             label = rule.name or rule.head.pred
+            typed = _is_value_struct_df(bound)
             for ev in evars:
-                bound = bound.withColumn(
-                    ev.name,
-                    F.concat(
-                        F.lit(f"_:{label}:{ev.name}:"), F.xxhash64(*salt_cols).cast("string")
-                    ),
+                skolem = F.concat(
+                    F.lit(f"{label}:{ev.name}:"), F.xxhash64(*salt_cols).cast("string")
                 )
+                if typed:
+                    # typed labeled null (Value domain Null, canonical "_:...")
+                    from nemo_spark.functions.typed import mk
+                    from nemo_spark.model.values import T_NULL
 
+                    bound = bound.withColumn(ev.name, mk(T_NULL, 0, 0.0, skolem))
+                else:
+                    bound = bound.withColumn(ev.name, F.concat(F.lit("_:"), skolem))
+
+        if not project:
+            return bound
         out: dict[str, DataFrame] = {}
         for h in rule.heads():
             proj = self._project_head(bound, h)
@@ -531,7 +668,7 @@ class SemiNaiveEngine:
             elif isinstance(t, Aggregate):
                 raise ValueError("aggregate terms are head-only")
             else:
-                conds.append(F.col(c) == F.lit(t))
+                conds.append(F.col(c) == _lit_term(t))
         out = df
         for cond in conds:
             out = out.filter(cond)
@@ -539,11 +676,17 @@ class SemiNaiveEngine:
 
     def _project_head(self, bound: DataFrame, head: Atom) -> DataFrame:
         exprs = []
+        null_guard: Column | None = None
         for i, t in enumerate(head.terms):
             if isinstance(t, Var):
                 exprs.append(F.col(t.name).alias(f"c{i}"))
+                g = F.col(t.name).isNotNull()
+                null_guard = g if null_guard is None else (null_guard & g)
             else:
-                exprs.append(F.lit(t).alias(f"c{i}"))
+                exprs.append(_lit_term(t).alias(f"c{i}"))
+        # error rows (null-valued assignments) are dropped here, once
+        if null_guard is not None:
+            bound = bound.filter(null_guard)
         return bound.select(*exprs).dropDuplicates()
 
     def _project_aggregate(self, bound: DataFrame, head: Atom, aggregate: Aggregate) -> DataFrame:
@@ -552,7 +695,13 @@ class SemiNaiveEngine:
         group_vars = [t.name for t in head.terms if isinstance(t, Var)]
         extra = [v.name for v in aggregate.distinct]
         proj = _uniq_str(group_vars + extra + [aggregate.var.name])
-        deduped = bound.select(*proj).dropDuplicates()
+        guard = None
+        for v in proj:
+            g = F.col(v).isNotNull()
+            guard = g if guard is None else (guard & g)
+        deduped = bound.filter(guard).select(*proj).dropDuplicates() if guard is not None else bound.select(*proj).dropDuplicates()
+        if _is_value_struct(deduped.schema[aggregate.var.name].dataType):
+            return self._project_aggregate_typed(deduped, head, aggregate, group_vars)
         agg_col = _AGG_FN[aggregate.op](F.col(aggregate.var.name))
         if aggregate.op == "count":
             agg_col = agg_col.cast("long")
@@ -574,6 +723,56 @@ class SemiNaiveEngine:
             else:
                 exprs.append(F.lit(t).alias(f"c{i}"))
         return res.select(*exprs)
+
+    def _project_aggregate_typed(
+        self, deduped: DataFrame, head: Atom, aggregate: Aggregate, group_vars: list[str]
+    ) -> DataFrame:
+        """Aggregation over typed value structs. min/max use the struct's
+        native ordering (= nemo's cross-domain AnyDataValue order, see
+        model/values.py); count wraps the row count as an integer value;
+        sum follows the numeric dispatch (all-int => i64, floats-only =>
+        f32, otherwise f64)."""
+        from nemo_spark.functions import typed as TY
+        from nemo_spark.model.values import T_DOUBLE, T_FLOAT, T_INT
+
+        col = F.col(aggregate.var.name)
+        agg_alias = "__agg__"
+        if aggregate.op in ("min", "max"):
+            aggs = [_AGG_FN[aggregate.op](col).alias(agg_alias)]
+            wrap = F.col(agg_alias)
+        elif aggregate.op == "count":
+            aggs = [F.count(col).alias(agg_alias)]
+            wrap = TY.mk(T_INT, F.col(agg_alias), 0.0, "")
+        else:  # sum
+            aggs = [
+                F.sum(F.when(col.getField("t") == T_INT, col.getField("i"))).alias("__si"),
+                F.sum(F.when(col.getField("t").isin(T_FLOAT, T_DOUBLE), col.getField("d"))).alias("__sd"),
+                F.count(F.when(col.getField("t") == T_FLOAT, F.lit(1))).alias("__nf"),
+                F.count(F.when(col.getField("t") == T_DOUBLE, F.lit(1))).alias("__nd"),
+                F.count(F.when(col.getField("t") == T_INT, F.lit(1))).alias("__ni"),
+            ]
+            total_d = F.coalesce(F.col("__sd"), F.lit(0.0)) + F.coalesce(
+                F.col("__si"), F.lit(0).cast("long")
+            ).cast("double")
+            wrap = (
+                F.when((F.col("__nf") == 0) & (F.col("__nd") == 0), TY.wrap_int(F.col("__si")))
+                .when((F.col("__ni") == 0) & (F.col("__nd") == 0), TY.wrap_float(total_d))
+                .otherwise(TY.wrap_double(total_d))
+            )
+        res = deduped.groupBy(*group_vars).agg(*aggs) if group_vars else deduped.agg(*aggs)
+        exprs = []
+        for i, t in enumerate(head.terms):
+            if isinstance(t, Aggregate):
+                exprs.append(wrap.alias(f"c{i}"))
+            elif isinstance(t, Var):
+                exprs.append(F.col(t.name).alias(f"c{i}"))
+            else:
+                exprs.append(_lit_term(t).alias(f"c{i}"))
+        # a null aggregate value (e.g. sum over an empty/non-numeric set)
+        # means "no result" for that group
+        out = res.select(*exprs)
+        agg_idx = next(i for i, t in enumerate(head.terms) if isinstance(t, Aggregate))
+        return out.filter(F.col(f"c{agg_idx}").isNotNull())
 
     # ------------------------------------------------------------ bookkeeping
 
@@ -629,6 +828,27 @@ class SemiNaiveEngine:
             return self.spark.createDataFrame([], self._schemas[pred])
         schema = ", ".join(f"c{i} string" for i in range(max(arity, 1)))
         return self.spark.createDataFrame([], schema)
+
+
+def _lit_term(t: Any) -> Column:
+    """Literal column for a constant term: typed Values get struct literals."""
+    from nemo_spark.model.values import Value
+
+    if isinstance(t, Value):
+        from nemo_spark.functions.typed import lit_value
+
+        return lit_value(t)
+    return F.lit(t)
+
+
+def _is_value_struct(dtype: Any) -> bool:
+    from pyspark.sql.types import StructType
+
+    return isinstance(dtype, StructType) and [f.name for f in dtype.fields] == ["t", "i", "d", "s"]
+
+
+def _is_value_struct_df(df: DataFrame) -> bool:
+    return any(_is_value_struct(f.dataType) for f in df.schema.fields)
 
 
 def _colmap(df: DataFrame) -> dict[str, Column]:

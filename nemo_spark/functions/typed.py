@@ -1,0 +1,849 @@
+"""Catalyst expressions over typed value structs (see model/values.py).
+
+Every function takes/returns Columns of type ``VALUE_SCHEMA``
+(struct<t:int,i:bigint,d:double,s:string>) and mirrors one nemo operation
+(``nemo/src/rule_model/components/term/operation/operation_kind.rs:78-403``,
+physical impls ``nemo-physical/src/function/definitions/**``).
+
+Error semantics: a nemo evaluation error (wrong operand domain, integer
+overflow, division by zero, non-finite float result, failed cast) produces NO
+RESULT — encoded as SQL NULL on the whole struct; the engine drops
+null-valued assignment rows and null/false filter rows.
+
+Numeric dispatch (definitions/numeric.rs NumericPair): int op int => checked
+i64; float op float => f32; anything else numeric => both cast to double.
+NaN/±Inf results are rejected (the reference's Double/Float domains exclude
+them). Everything here is pure Catalyst — JVM codegen, no Python in the
+executor path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from nemo_spark.model.values import (
+    RDF_LANGSTRING,
+    SEP,
+    T_BOOLEAN,
+    T_DOUBLE,
+    T_FLOAT,
+    T_INT,
+    T_IRI,
+    T_LANG,
+    T_NULL,
+    T_OTHER,
+    T_STRING,
+    T_ULONG,
+    VALUE_SCHEMA,
+    XSD,
+    Value,
+)
+
+I64_MAX = (1 << 63) - 1
+I64_MIN = -(1 << 63)
+
+def NULLV() -> Column:
+    """Typed-null literal (built lazily: Column creation needs a live session)."""
+    return F.lit(None).cast(VALUE_SCHEMA)
+
+
+# ------------------------------------------------------------ struct helpers
+
+
+def vt(c: Column) -> Column:
+    return c.getField("t")
+
+
+def vi(c: Column) -> Column:
+    return c.getField("i")
+
+
+def vd(c: Column) -> Column:
+    return c.getField("d")
+
+
+def vs(c: Column) -> Column:
+    return c.getField("s")
+
+
+def mk(t, i, d, s) -> Column:
+    return F.struct(
+        F.lit(t).cast("int").alias("t") if isinstance(t, int) else t.cast("int").alias("t"),
+        F.lit(i).cast("long").alias("i") if isinstance(i, int) else i.cast("long").alias("i"),
+        F.lit(d).cast("double").alias("d") if isinstance(d, float) else d.cast("double").alias("d"),
+        F.lit(s).alias("s") if isinstance(s, str) else s.alias("s"),
+    )
+
+
+def lit_value(v: Value) -> Column:
+    return mk(v.t, v.i, v.d, v.s)
+
+
+def _guard(cond: Column, value: Column) -> Column:
+    return F.when(cond, value).otherwise(NULLV())
+
+
+# ------------------------------------------------------------------ wrappers
+
+
+def wrap_int(i: Column) -> Column:
+    """i64 result; SQL-null input => no result."""
+    return _guard(i.isNotNull(), mk(T_INT, i, 0.0, ""))
+
+
+def wrap_double(d: Column) -> Column:
+    """f64 result; null / NaN / ±Inf => no result (Double domain excludes them)."""
+    ok = d.isNotNull() & ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+    return _guard(ok, mk(T_DOUBLE, 0, d, ""))
+
+
+def wrap_float(d: Column) -> Column:
+    """f32 result (computed in f64, rounded to f32)."""
+    f = d.cast("float")
+    ok = f.isNotNull() & ~F.isnan(f) & (F.abs(f) != F.lit(float("inf")))
+    return _guard(ok, mk(T_FLOAT, 0, f.cast("double"), ""))
+
+
+def wrap_bool(b: Column) -> Column:
+    return _guard(b.isNotNull(), mk(T_BOOLEAN, F.when(b, F.lit(1)).otherwise(F.lit(0)), 0.0, ""))
+
+
+def wrap_string(s: Column) -> Column:
+    return _guard(s.isNotNull(), mk(T_STRING, 0, 0.0, s))
+
+
+def wrap_iri(s: Column) -> Column:
+    return _guard(s.isNotNull(), mk(T_IRI, 0, 0.0, s))
+
+
+# ----------------------------------------------------------- numeric helpers
+
+
+def num_d(c: Column) -> Column:
+    """Numeric payload as double, SQL-null when the value isn't numeric.
+    UnsignedLong (> i64::MAX) is numeric in nemo but excluded from arithmetic
+    (NumericValue::from_any_datavalue returns None for it)."""
+    return (
+        F.when(vt(c) == T_INT, vi(c).cast("double"))
+        .when((vt(c) == T_DOUBLE) | (vt(c) == T_FLOAT), vd(c))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
+def is_numeric_dom(c: Column) -> Column:
+    """CheckIsNumeric domain test (includes UnsignedLong)."""
+    return c.isNotNull() & vt(c).isin(T_INT, T_ULONG, T_DOUBLE, T_FLOAT)
+
+
+def _arith2(a: Column, b: Column, int_fn, dbl_fn) -> Column:
+    both_int = (vt(a) == T_INT) & (vt(b) == T_INT)
+    both_float = (vt(a) == T_FLOAT) & (vt(b) == T_FLOAT)
+    an, bn = num_d(a), num_d(b)
+    numeric = an.isNotNull() & bn.isNotNull()
+    return (
+        F.when(a.isNull() | b.isNull(), NULLV())
+        .when(both_int, wrap_int(int_fn(vi(a), vi(b))))
+        .when(both_float & numeric, wrap_float(dbl_fn(an, bn)))
+        .when(numeric, wrap_double(dbl_fn(an, bn)))
+        .otherwise(NULLV())
+    )
+
+
+def _arith1(a: Column, int_fn, dbl_fn) -> Column:
+    is_int = vt(a) == T_INT
+    is_float = vt(a) == T_FLOAT
+    an = num_d(a)
+    return (
+        F.when(a.isNull(), NULLV())
+        .when(is_int, wrap_int(int_fn(vi(a))))
+        .when(is_float & an.isNotNull(), wrap_float(dbl_fn(an)))
+        .when(an.isNotNull(), wrap_double(dbl_fn(an)))
+        .otherwise(NULLV())
+    )
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    # exact i64 truncating division; /0 => null (integer64.rs:48 checked_div)
+    exact = (a - (a % b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+    ok = (b != F.lit(0)) & ~((a == F.lit(I64_MIN)) & (b == F.lit(-1)))
+    return F.when(ok, exact.cast("long")).otherwise(F.lit(None).cast("long"))
+
+
+def _int_pow(a: Column, b: Column) -> Column:
+    # checked_pow: negative exponent => None; overflow => None. Computed in
+    # double with an exactness check (exact up to 2^53; larger exact powers
+    # of magnitude < 2^63 are extremely sparse — documented approximation).
+    d = F.pow(a.cast("double"), b.cast("double"))
+    ok = (b >= F.lit(0)) & (F.abs(d) <= F.lit(float(I64_MAX))) & ~F.isnan(d)
+    return F.when(ok, d.cast("long")).otherwise(F.lit(None).cast("long"))
+
+
+def _int_sqrt(a: Column) -> Column:
+    # floor integer sqrt (integer64.rs:72 Roots::sqrt), with float-error nudge
+    s = F.floor(F.sqrt(a.cast("double"))).cast("long")
+    s = F.when((s + 1) * (s + 1) <= a, s + 1).otherwise(s)
+    s = F.when(s * s > a, s - 1).otherwise(s)
+    return F.when(a >= 0, s).otherwise(F.lit(None).cast("long"))
+
+
+def _int_log(a: Column, b: Column) -> Column:
+    # ilog: floor(log_base(value)); value <= 0 or base < 2 => None
+    # (integer64.rs:84). float log then integer verification.
+    # F.log(base, col) needs a literal base; compute log-ratio instead
+    approx = F.floor(F.log(a.cast("double")) / F.log(b.cast("double"))).cast("long")
+    # verify via exact integer powers around the approximation
+    lo = F.when(F.try_multiply(_int_pow_exactish(b, approx + 1), F.lit(1)) <= a, approx + 1).otherwise(approx)
+    res = F.when(_int_pow_exactish(b, lo) > a, lo - 1).otherwise(lo)
+    return F.when((a > 0) & (b >= 2), res).otherwise(F.lit(None).cast("long"))
+
+
+def _int_pow_exactish(base: Column, e: Column) -> Column:
+    d = F.pow(base.cast("double"), e.cast("double"))
+    return F.when(F.abs(d) <= F.lit(float(I64_MAX)), d.cast("long")).otherwise(F.lit(I64_MAX))
+
+
+def t_sum(a: Column, b: Column) -> Column:
+    return _arith2(a, b, F.try_add, lambda x, y: x + y)
+
+
+def t_subtraction(a: Column, b: Column) -> Column:
+    return _arith2(a, b, F.try_subtract, lambda x, y: x - y)
+
+
+def t_product(a: Column, b: Column) -> Column:
+    return _arith2(a, b, F.try_multiply, lambda x, y: x * y)
+
+
+def t_division(a: Column, b: Column) -> Column:
+    return _arith2(a, b, _int_div, lambda x, y: F.try_divide(x, y))
+
+
+def t_remainder(a: Column, b: Column) -> Column:
+    return _arith2(
+        a,
+        b,
+        lambda x, y: F.when(y != F.lit(0), x % y).otherwise(F.lit(None).cast("long")),
+        lambda x, y: F.when(y != F.lit(0.0), x % y).otherwise(F.lit(None).cast("double")),
+    )
+
+
+def t_power(a: Column, b: Column) -> Column:
+    return _arith2(a, b, _int_pow, lambda x, y: F.pow(x, y))
+
+
+def t_logarithm(a: Column, b: Column) -> Column:
+    # nemo: log(value, base)
+    return _arith2(a, b, _int_log, lambda x, y: F.log(x) / F.log(y))
+
+
+def t_minimum(a: Column, b: Column) -> Column:
+    return _arith2(a, b, F.least, F.least)
+
+
+def t_maximum(a: Column, b: Column) -> Column:
+    return _arith2(a, b, F.greatest, F.greatest)
+
+
+def t_lukasiewicz(a: Column, b: Column) -> Column:
+    return _arith2(
+        a,
+        b,
+        lambda x, y: F.greatest(F.lit(0).cast("long"), F.try_add(x, y) - F.lit(1)),
+        lambda x, y: F.greatest(F.lit(0.0), x + y - F.lit(1.0)),
+    )
+
+
+def t_absolute(a: Column) -> Column:
+    return _arith1(a, lambda x: F.try_multiply(F.signum(x.cast("double")).cast("long"), x), F.abs)
+
+
+def t_negation(a: Column) -> Column:
+    return _arith1(a, lambda x: F.try_subtract(F.lit(0).cast("long"), x), lambda x: -x)
+
+
+def t_squareroot(a: Column) -> Column:
+    return _arith1(a, _int_sqrt, lambda x: F.when(x >= 0, F.sqrt(x)).otherwise(F.lit(None).cast("double")))
+
+
+def t_sin(a: Column) -> Column:
+    return _float_only(a, F.sin)
+
+
+def t_cos(a: Column) -> Column:
+    return _float_only(a, F.cos)
+
+
+def t_tan(a: Column) -> Column:
+    return _float_only(a, F.tan)
+
+
+def _float_only(a: Column, fn) -> Column:
+    """sin/cos/tan exist only for float/double in the reference (no integer
+    variant) — integer input is an eval error."""
+    is_float = vt(a) == T_FLOAT
+    is_double = vt(a) == T_DOUBLE
+    return (
+        F.when(a.isNull(), NULLV())
+        .when(is_float, wrap_float(fn(vd(a))))
+        .when(is_double, wrap_double(fn(vd(a))))
+        .otherwise(NULLV())
+    )
+
+
+def t_ceil(a: Column) -> Column:
+    return _arith1(a, lambda x: x, lambda x: F.ceil(x).cast("double"))
+
+
+def t_floor(a: Column) -> Column:
+    return _arith1(a, lambda x: x, lambda x: F.floor(x).cast("double"))
+
+
+def t_round(a: Column) -> Column:
+    return _arith1(a, lambda x: x, lambda x: F.round(x, 0))
+
+
+# -------------------------------------------------------------------- bit ops
+# defined on integers only (integer64.rs bitwise group)
+
+
+def _int2(a: Column, b: Column, fn) -> Column:
+    ok = (vt(a) == T_INT) & (vt(b) == T_INT)
+    return _guard(ok, wrap_int(fn(vi(a), vi(b))))
+
+
+def t_bit_and(a: Column, b: Column) -> Column:
+    return _int2(a, b, lambda x, y: x.bitwiseAND(y))
+
+
+def t_bit_or(a: Column, b: Column) -> Column:
+    return _int2(a, b, lambda x, y: x.bitwiseOR(y))
+
+
+def t_bit_xor(a: Column, b: Column) -> Column:
+    return _int2(a, b, lambda x, y: x.bitwiseXOR(y))
+
+
+def t_bit_shl(a: Column, b: Column) -> Column:
+    return _int2(a, b, lambda x, y: F.call_function("shiftleft", x, y.cast("int")))
+
+
+def t_bit_shr(a: Column, b: Column) -> Column:
+    return _int2(a, b, lambda x, y: F.call_function("shiftright", x, y.cast("int")))
+
+
+def t_bit_shru(a: Column, b: Column) -> Column:
+    return _int2(a, b, lambda x, y: F.call_function("shiftrightunsigned", x, y.cast("int")))
+
+
+# ------------------------------------------------------------------- boolean
+
+
+def as_bool(a: Column) -> Column:
+    """Boolean payload, SQL-null if not a boolean value."""
+    return F.when(vt(a) == T_BOOLEAN, vi(a) == 1).otherwise(F.lit(None).cast("boolean"))
+
+
+def t_and(a: Column, b: Column) -> Column:
+    return wrap_bool(as_bool(a) & as_bool(b))
+
+
+def t_or(a: Column, b: Column) -> Column:
+    return wrap_bool(as_bool(a) | as_bool(b))
+
+
+def t_not(a: Column) -> Column:
+    return wrap_bool(~as_bool(a))
+
+
+# --------------------------------------------------------------- comparisons
+
+
+def t_equal(a: Column, b: Column) -> Column:
+    """Equality across ALL values; disjoint domains are unequal."""
+    return _guard(a.isNotNull() & b.isNotNull(), wrap_bool(a == b))
+
+
+def t_unequal(a: Column, b: Column) -> Column:
+    return _guard(a.isNotNull() & b.isNotNull(), wrap_bool(a != b))
+
+
+def _num_cmp(a: Column, b: Column, int_cmp, dbl_cmp) -> Column:
+    """Numeric comparison: both numeric required (else eval error); int/int
+    exact, otherwise double (numeric.rs NumericPair::from_any_pair_castable)."""
+    both_int = (vt(a) == T_INT) & (vt(b) == T_INT)
+    an, bn = num_d(a), num_d(b)
+    numeric = an.isNotNull() & bn.isNotNull()
+    return (
+        F.when(a.isNull() | b.isNull(), NULLV())
+        .when(both_int, wrap_bool(int_cmp(vi(a), vi(b))))
+        .when(numeric, wrap_bool(dbl_cmp(an, bn)))
+        .otherwise(NULLV())
+    )
+
+
+def t_lt(a: Column, b: Column) -> Column:
+    return _num_cmp(a, b, lambda x, y: x < y, lambda x, y: x < y)
+
+
+def t_le(a: Column, b: Column) -> Column:
+    return _num_cmp(a, b, lambda x, y: x <= y, lambda x, y: x <= y)
+
+
+def t_gt(a: Column, b: Column) -> Column:
+    return _num_cmp(a, b, lambda x, y: x > y, lambda x, y: x > y)
+
+
+def t_ge(a: Column, b: Column) -> Column:
+    return _num_cmp(a, b, lambda x, y: x >= y, lambda x, y: x >= y)
+
+
+# ------------------------------------------------------------------- strings
+
+
+def as_string(a: Column) -> Column:
+    """Plain-string payload; non-strings => SQL null (string functions are
+    defined on PlainString only, definitions/string.rs)."""
+    return F.when(vt(a) == T_STRING, vs(a)).otherwise(F.lit(None).cast("string"))
+
+
+def t_strlen(a: Column) -> Column:
+    return wrap_int(F.length(as_string(a)).cast("long"))
+
+
+def t_concat(*cols: Column) -> Column:
+    return wrap_string(F.concat(*[as_string(c) for c in cols]))
+
+
+def t_contains(a: Column, b: Column) -> Column:
+    return wrap_bool(F.contains(as_string(a), as_string(b)))
+
+
+def t_starts(a: Column, b: Column) -> Column:
+    return wrap_bool(F.startswith(as_string(a), as_string(b)))
+
+
+def t_ends(a: Column, b: Column) -> Column:
+    return wrap_bool(F.endswith(as_string(a), as_string(b)))
+
+
+def t_strbefore(a: Column, b: Column) -> Column:
+    s, sep = as_string(a), as_string(b)
+    r = F.when(F.contains(s, sep), F.substr(s, F.lit(1), F.instr(s, sep) - F.lit(1))).otherwise(
+        F.lit("")
+    )
+    return _guard(s.isNotNull() & sep.isNotNull(), wrap_string(r))
+
+
+def t_strafter(a: Column, b: Column) -> Column:
+    s, sep = as_string(a), as_string(b)
+    r = F.when(F.contains(s, sep), F.substr(s, F.instr(s, sep) + F.length(sep))).otherwise(F.lit(""))
+    return _guard(s.isNotNull() & sep.isNotNull(), wrap_string(r))
+
+
+def t_substring(a: Column, start: Column, length: Column | None = None) -> Column:
+    """SUBSTR, 1-based; start/length are integer values."""
+    s = as_string(a)
+    st = F.when(vt(start) == T_INT, vi(start).cast("int")).otherwise(F.lit(None).cast("int"))
+    if length is None:
+        return _guard(s.isNotNull() & st.isNotNull(), wrap_string(F.substr(s, st)))
+    ln = F.when(vt(length) == T_INT, vi(length).cast("int")).otherwise(F.lit(None).cast("int"))
+    return _guard(s.isNotNull() & st.isNotNull() & ln.isNotNull(), wrap_string(F.substr(s, st, ln)))
+
+
+def t_regex(a: Column, pattern: Column) -> Column:
+    # regexp_like accepts a column-valued pattern (Column.rlike does not)
+    return wrap_bool(F.regexp_like(as_string(a), as_string(pattern)))
+
+
+def t_reverse(a: Column) -> Column:
+    return wrap_string(F.reverse(as_string(a)))
+
+
+def t_lower(a: Column) -> Column:
+    return wrap_string(F.lower(as_string(a)))
+
+
+def t_upper(a: Column) -> Column:
+    return wrap_string(F.upper(as_string(a)))
+
+
+def t_uriencode(a: Column) -> Column:
+    return wrap_string(F.replace(F.url_encode(as_string(a)), F.lit("+"), F.lit("%20")))
+
+
+def t_uridecode(a: Column) -> Column:
+    return wrap_string(F.try_url_decode(as_string(a)))
+
+
+def t_levenshtein(a: Column, b: Column) -> Column:
+    return wrap_int(F.levenshtein(as_string(a), as_string(b)).cast("long"))
+
+
+def t_strcompare(a: Column, b: Column) -> Column:
+    sa, sb = as_string(a), as_string(b)
+    r = F.when(sa < sb, F.lit(-1)).when(sa == sb, F.lit(0)).otherwise(F.lit(1))
+    return _guard(sa.isNotNull() & sb.isNotNull(), wrap_int(r.cast("long")))
+
+
+# ----------------------------------------------- RDF / type introspection
+
+
+def t_str(a: Column) -> Column:
+    """STR / LexicalValue: lexical form as a plain string
+    (operation_kind.rs:403 LexicalValue). Doubles/floats use the reference's
+    shortest-round-trip formatting — see lexical_double_col."""
+    return _guard(a.isNotNull(), wrap_string(lexical_col(a)))
+
+
+def lexical_col(a: Column) -> Column:
+    """Lexical form of any value as a string column."""
+    return (
+        F.when(vt(a) == T_INT, vi(a).cast("string"))
+        .when(vt(a) == T_ULONG, (vi(a).cast("decimal(38,0)") + F.lit(str(1 << 64)).cast("decimal(38,0)")).cast("string"))
+        .when(vt(a) == T_DOUBLE, _rust_double_str(vd(a)))
+        .when(vt(a) == T_FLOAT, _rust_float_str(vd(a)))
+        .when(vt(a) == T_LANG, F.substring_index(vs(a), SEP, 1))
+        .when(vt(a) == T_OTHER, F.substring_index(vs(a), SEP, 1))
+        .when(vt(a) == T_BOOLEAN, F.when(vi(a) == 1, F.lit("true")).otherwise(F.lit("false")))
+        .otherwise(vs(a))
+    )
+
+
+def _rust_double_str(d: Column) -> Column:
+    """Rust f64 Display (shortest decimal, no exponent, no trailing .0) as a
+    Catalyst expression. Java's Double.toString picks the same shortest
+    digits; we reformat its exponent notation into plain decimal."""
+    return _expand_exponent(d.cast("string"))
+
+
+def _rust_float_str(d: Column) -> Column:
+    """Rust f32 Display for the f32 value stored widened in a double: Java's
+    Float.toString picks the f32-shortest digits."""
+    return _expand_exponent(d.cast("float").cast("string"))
+
+
+def t_fullstr(a: Column) -> Column:
+    """fullStr / CanonicalString: the canonical serialization as a string."""
+    return _guard(a.isNotNull(), wrap_string(canonical_col(a)))
+
+
+def _quote_str_col(s: Column) -> Column:
+    esc = F.regexp_replace(s, r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', '\\\\"')
+    esc = F.regexp_replace(esc, r"\r", r"\\r")
+    esc = F.regexp_replace(esc, r"\n", r"\\n")
+    return F.concat(F.lit('"'), esc, F.lit('"'))
+
+
+def canonical_col(a: Column) -> Column:
+    """nemo canonical_string as a Catalyst expression (float/double use the
+    shortest-round-trip formatter above)."""
+    lang_text = F.substring_index(vs(a), SEP, 1)
+    lang_tag = F.substring_index(vs(a), SEP, -1)
+    other_lex = F.substring_index(vs(a), SEP, 1)
+    other_dt = F.substring_index(vs(a), SEP, -1)
+    return (
+        F.when(vt(a) == T_INT, vi(a).cast("string"))
+        .when(vt(a) == T_ULONG, (vi(a).cast("decimal(38,0)") + F.lit(str(1 << 64)).cast("decimal(38,0)")).cast("string"))
+        .when(
+            vt(a) == T_DOUBLE,
+            F.concat(_quote_str_col(_rust_double_str(vd(a))), F.lit(f"^^<{XSD}double>")),
+        )
+        .when(
+            vt(a) == T_FLOAT,
+            F.concat(_quote_str_col(_rust_float_str(vd(a))), F.lit(f"^^<{XSD}float>")),
+        )
+        .when(vt(a) == T_STRING, _quote_str_col(vs(a)))
+        .when(vt(a) == T_LANG, F.concat(_quote_str_col(lang_text), F.lit("@"), lang_tag))
+        .when(vt(a) == T_IRI, F.concat(F.lit("<"), vs(a), F.lit(">")))
+        .when(
+            vt(a) == T_BOOLEAN,
+            F.concat(
+                F.lit('"'),
+                F.when(vi(a) == 1, F.lit("true")).otherwise(F.lit("false")),
+                F.lit(f'"^^<{XSD}boolean>'),
+            ),
+        )
+        .when(vt(a) == T_NULL, F.concat(F.lit("_:"), vs(a)))
+        .otherwise(F.concat(_quote_str_col(other_lex), F.lit("^^<"), other_dt, F.lit(">")))
+    )
+
+
+def _expand_exponent(j: Column) -> Column:
+    has_exp = F.contains(j, F.lit("E"))
+    mant = F.substring_index(j, "E", 1)
+    exp = F.when(has_exp, F.substring_index(j, "E", -1).cast("int")).otherwise(F.lit(0))
+    neg = mant.startswith("-")
+    mant_abs = F.when(neg, F.substr(mant, F.lit(2))).otherwise(mant)
+    ip = F.substring_index(mant_abs, ".", 1)
+    fp = F.when(F.contains(mant_abs, F.lit(".")), F.substring_index(mant_abs, ".", -1)).otherwise(F.lit(""))
+    digits = F.concat(ip, fp)
+    point = F.length(ip) + exp
+    shifted = F.when(
+        point <= 0,
+        F.concat(F.lit("0."), F.repeat(F.lit("0"), -point), digits),
+    ).when(
+        point >= F.length(digits),
+        F.concat(digits, F.repeat(F.lit("0"), point - F.length(digits))),
+    ).otherwise(
+        F.concat(F.substr(digits, F.lit(1), point), F.lit("."), F.substr(digits, point + 1))
+    )
+    plain = F.when(has_exp, F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), shifted)).otherwise(j)
+    plain = F.when(plain.endswith(".0"), F.substr(plain, F.lit(1), F.length(plain) - 2)).otherwise(plain)
+    return plain
+
+
+def t_datatype(a: Column) -> Column:
+    """Datatype: IRI value of the datatype (operation_kind.rs Datatype);
+    IRIs report xsd:anyURI (ValueDomain::type_iri); nulls have none =>
+    eval error."""
+    dt = (
+        F.when(vt(a) == T_STRING, F.lit(XSD + "string"))
+        .when(vt(a) == T_IRI, F.lit(XSD + "anyURI"))
+        .when(vt(a) == T_LANG, F.lit(RDF_LANGSTRING))
+        .when(vt(a) == T_DOUBLE, F.lit(XSD + "double"))
+        .when(vt(a) == T_FLOAT, F.lit(XSD + "float"))
+        .when(vt(a) == T_BOOLEAN, F.lit(XSD + "boolean"))
+        .when(vt(a) == T_ULONG, F.lit(XSD + "unsignedLong"))
+        .when(
+            vt(a) == T_INT,
+            F.when(
+                (vi(a) >= -(1 << 31)) & (vi(a) < (1 << 31)), F.lit(XSD + "int")
+            ).otherwise(F.lit(XSD + "long")),
+        )
+        .when(vt(a) == T_OTHER, F.substring_index(vs(a), SEP, -1))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return wrap_iri(dt)
+
+
+def t_lang(a: Column) -> Column:
+    """LANG: language tag of a language-tagged string (else eval error)."""
+    return _guard(vt(a) == T_LANG, wrap_string(F.substring_index(vs(a), SEP, -1)))
+
+
+def t_strlang(a: Column, tag: Column) -> Column:
+    """STRLANG(string, tag) -> language-tagged string."""
+    s, tg = as_string(a), as_string(tag)
+    return _guard(
+        s.isNotNull() & tg.isNotNull(),
+        mk(T_LANG, 0, 0.0, F.concat(s, F.lit(SEP), F.lower(tg))),
+    )
+
+
+# ------------------------------------------------------------------- checks
+
+
+def t_is_integer(a: Column) -> Column:
+    return wrap_bool(a.isNotNull() & vt(a).isin(T_INT, T_ULONG))
+
+
+def t_is_float(a: Column) -> Column:
+    return wrap_bool(a.isNotNull() & (vt(a) == T_FLOAT))
+
+
+def t_is_double(a: Column) -> Column:
+    return wrap_bool(a.isNotNull() & (vt(a) == T_DOUBLE))
+
+
+def t_is_iri(a: Column) -> Column:
+    return wrap_bool(a.isNotNull() & (vt(a) == T_IRI))
+
+
+def t_is_numeric(a: Column) -> Column:
+    return wrap_bool(is_numeric_dom(a))
+
+
+def t_is_null(a: Column) -> Column:
+    return wrap_bool(a.isNotNull() & (vt(a) == T_NULL))
+
+
+def t_is_string(a: Column) -> Column:
+    return wrap_bool(a.isNotNull() & (vt(a) == T_STRING))
+
+
+# -------------------------------------------------------------------- casts
+
+
+
+def _lex_str_other(a: Column) -> Column:
+    """Lexical form for STRING/OTHER values only — a slim alternative to
+    lexical_col for cast paths (avoids dragging the float-formatting branches
+    into every cast expression; plan-size control)."""
+    return F.when(vt(a) == T_OTHER, F.substring_index(vs(a), SEP, 1)).otherwise(vs(a))
+
+
+def t_cast_int(a: Column) -> Column:
+    """INT cast (casting.rs CastingIntoInteger64): ints pass; integral
+    floats/doubles truncate; booleans 0/1; strings/other parse decimal or
+    0b/0o/0x radix literals."""
+    lex = F.when(vt(a).isin(T_STRING, T_OTHER), _lex_str_other(a))
+    dec = F.trim(lex)
+    radix = F.when(dec.rlike("^0b[01]+$"), F.try_to_number(F.conv(F.substr(dec, F.lit(3)), 2, 10), F.lit("999999999999999999")).cast("long")) \
+        .when(dec.rlike("^0o[0-7]+$"), F.try_to_number(F.conv(F.substr(dec, F.lit(3)), 8, 10), F.lit("999999999999999999")).cast("long")) \
+        .when(dec.rlike("^0x[0-9A-Fa-f]+$"), F.try_to_number(F.conv(F.substr(dec, F.lit(3)), 16, 10), F.lit("999999999999999999")).cast("long")) \
+        .otherwise(dec.try_cast("long"))
+    from_num = F.when(
+        vt(a).isin(T_DOUBLE, T_FLOAT) & (F.round(vd(a), 0) == vd(a)), vd(a).cast("long")
+    )
+    return (
+        F.when(a.isNull(), NULLV())
+        .when(vt(a) == T_INT, a)
+        .when(vt(a).isin(T_STRING, T_OTHER), wrap_int(radix))
+        .when(vt(a).isin(T_DOUBLE, T_FLOAT), wrap_int(from_num))
+        .when(vt(a) == T_BOOLEAN, wrap_int(vi(a)))
+        .otherwise(NULLV())
+    )
+
+
+def t_cast_double(a: Column) -> Column:
+    """DOUBLE cast: numerics widen; strings/other parse f64."""
+    return (
+        F.when(a.isNull(), NULLV())
+        .when(vt(a) == T_DOUBLE, a)
+        .when(vt(a) == T_FLOAT, wrap_double(vd(a)))
+        .when(vt(a) == T_INT, wrap_double(vi(a).cast("double")))
+        .when(
+            vt(a) == T_ULONG,
+            wrap_double((vi(a).cast("decimal(38,0)") + F.lit(str(1 << 64)).cast("decimal(38,0)")).cast("double")),
+        )
+        .when(vt(a).isin(T_STRING, T_OTHER), wrap_double(F.trim(_lex_str_other(a)).try_cast("double")))
+        .otherwise(NULLV())
+    )
+
+
+def t_cast_float(a: Column) -> Column:
+    return (
+        F.when(a.isNull(), NULLV())
+        .when(vt(a) == T_FLOAT, a)
+        .when(vt(a) == T_DOUBLE, wrap_float(vd(a)))
+        .when(vt(a) == T_INT, wrap_float(vi(a).cast("double")))
+        .when(
+            vt(a) == T_ULONG,
+            wrap_float((vi(a).cast("decimal(38,0)") + F.lit(str(1 << 64)).cast("decimal(38,0)")).cast("double")),
+        )
+        .when(vt(a).isin(T_STRING, T_OTHER), wrap_float(F.trim(_lex_str_other(a)).try_cast("double")))
+        .otherwise(NULLV())
+    )
+
+
+def t_cast_iri(a: Column) -> Column:
+    """IRI cast (casting.rs CastingIntoIri): plain strings and IRIs only."""
+    return (
+        F.when(a.isNull(), NULLV())
+        .when(vt(a) == T_IRI, a)
+        .when(vt(a) == T_STRING, wrap_iri(vs(a)))
+        .otherwise(NULLV())
+    )
+
+
+# --------------------------------------------------------------- DSV decode
+
+
+def decode_any_col(c: Column) -> Column:
+    """DSV 'anything' parser as a Catalyst expression
+    (dsv/value_format.rs:parse_any_value_from_string): the Spark-side
+    equivalent of values.parse_dsv_any for bulk CSV ingestion.
+
+    Decimal/typed-literal corner cases (huge integers, nonzero fractions,
+    typed literals) fall back conservatively: integers that fit i64 are INT,
+    fractions become Other(xsd:decimal) with canonical lexical form."""
+    s = F.trim(c)
+    is_empty = s.isNull() | (s == F.lit(""))
+    iri_bracket = s.startswith("<") & s.endswith(">")
+    as_int = s.try_cast("long")
+    # canonical decimal for fractional literals: strip +, leading zeros,
+    # trailing fraction zeros
+    is_decimal = s.rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)$")
+    frac = F.regexp_replace(F.substring_index(s, ".", -1), "0+$", "")
+    has_fraction = F.contains(s, F.lit(".")) & (frac != F.lit(""))
+    ipart = F.regexp_replace(F.substring_index(s, ".", 1), r"^[+-]?0*", "")
+    sign = F.when(s.rlike("^-"), F.lit("-")).otherwise(F.lit(""))
+    canon_dec = F.concat(sign, F.when(ipart == "", F.lit("0")).otherwise(ipart), F.lit("."), frac)
+    int_from_dec = F.when(has_fraction, F.lit(None).cast("long")).otherwise(
+        F.substring_index(s, ".", 1).try_cast("long")
+    )
+    # quoted literal forms
+    q = s.rlike(r'^"')
+    plain_q = s.rlike(r'^"[^"]*"$')
+    lang_q = s.rlike(r'^"[^"]*"@[A-Za-z0-9\-]+$')
+    typed_q = s.rlike(r'^"[^"]*"\^\^<[^>]*>$')
+    q_body = F.regexp_extract(s, r'^"([^"]*)"', 1)
+    q_lang = F.lower(F.regexp_extract(s, r'@([A-Za-z0-9\-]+)$', 1))
+    q_dt = F.regexp_extract(s, r'\^\^<([^>]*)>$', 1)
+    # nemo's fallback IRI token: any cell without '>', ' ' or '\n'
+    # (token.rs:406 is_not("> \n"))
+    iri_like = s.rlike("^[^> \n]+$")
+    typed_val = _decode_typed_literal(q_body, q_dt)
+    return (
+        F.when(is_empty, mk(T_STRING, 0, 0.0, F.lit("")))
+        .when(iri_bracket, mk(T_IRI, 0, 0.0, F.substr(s, F.lit(2), F.length(s) - 2)))
+        .when(s.rlike(r"^[0-9+\-]") & as_int.isNotNull(), mk(T_INT, as_int, 0.0, ""))
+        .when(
+            s.rlike(r"^[0-9+\-]") & is_decimal & has_fraction,
+            mk(T_OTHER, 0, 0.0, F.concat(canon_dec, F.lit(SEP), F.lit(XSD + "decimal"))),
+        )
+        .when(
+            s.rlike(r"^[0-9+\-]") & is_decimal & int_from_dec.isNotNull(),
+            mk(T_INT, int_from_dec, 0.0, ""),
+        )
+        .when(
+            # integer too big for i64: u64 range => ULONG (wrapped), beyond
+            # that => Other(xsd:integer) with canonical digits
+            s.rlike(r"^[0-9+\-]") & is_decimal & _dec38(s).isNotNull()
+            & (_dec38(s) >= 0) & (_dec38(s) <= F.lit(str((1 << 64) - 1)).cast("decimal(38,0)")),
+            mk(T_ULONG, (_dec38(s) - F.lit(str(1 << 64)).cast("decimal(38,0)")).cast("long"), 0.0, ""),
+        )
+        .when(
+            s.rlike(r"^[0-9+\-]") & is_decimal,
+            mk(T_OTHER, 0, 0.0,
+               F.concat(sign, F.when(ipart == "", F.lit("0")).otherwise(ipart),
+                        F.lit(SEP), F.lit(XSD + "integer"))),
+        )
+        .when(q & plain_q, mk(T_STRING, 0, 0.0, q_body))
+        .when(q & lang_q, mk(T_LANG, 0, 0.0, F.concat(q_body, F.lit(SEP), q_lang)))
+        .when(q & typed_q & typed_val.isNotNull(), typed_val)
+        .when(iri_like, mk(T_IRI, 0, 0.0, s))
+        .otherwise(mk(T_STRING, 0, 0.0, s))
+    )
+
+
+def _dec38(s: Column) -> Column:
+    return F.substring_index(s, ".", 1).try_cast("decimal(38,0)")
+
+
+def _decode_typed_literal(lex: Column, dt: Column) -> Column:
+    """Typed-literal decode for the common xsd types; others become OTHER."""
+    as_int = lex.try_cast("long")
+    as_dbl = lex.try_cast("double")
+    return (
+        F.when(
+            dt.isin(*[XSD + t for t in ("long", "int", "short", "byte", "integer",
+                                        "unsignedInt", "unsignedShort", "unsignedByte")])
+            & as_int.isNotNull(),
+            mk(T_INT, as_int, 0.0, ""),
+        )
+        .when(dt == XSD + "string", mk(T_STRING, 0, 0.0, lex))
+        .when(
+            (dt == XSD + "double") & as_dbl.isNotNull() & ~F.isnan(as_dbl)
+            & (F.abs(as_dbl) != F.lit(float("inf"))),
+            mk(T_DOUBLE, 0, as_dbl, ""),
+        )
+        .when(
+            (dt == XSD + "boolean") & lex.isin("true", "1", "false", "0"),
+            mk(T_BOOLEAN, F.when(lex.isin("true", "1"), F.lit(1)).otherwise(F.lit(0)), 0.0, ""),
+        )
+        .otherwise(mk(T_OTHER, 0, 0.0, F.concat(lex, F.lit(SEP), dt)))
+    )
+
+
+def dsv_any_col(a: Column) -> Column:
+    """DSV 'anything' export serialization (integers plain, strings quoted,
+    IRIs bare, everything else canonical)."""
+    return (
+        F.when(vt(a) == T_INT, vi(a).cast("string"))
+        .when(vt(a) == T_ULONG, (vi(a).cast("decimal(38,0)") + F.lit(str(1 << 64)).cast("decimal(38,0)")).cast("string"))
+        .when(vt(a) == T_IRI, vs(a))
+        .otherwise(canonical_col(a))
+    )

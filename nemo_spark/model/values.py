@@ -1,0 +1,481 @@
+"""Typed value model: nemo's dynamically-typed RDF data values on Spark.
+
+The reference stores every value as (datatype, lexical form) with a
+cross-domain total order (``nemo-physical/src/datavalues/datavalue.rs:45-221``,
+``any_datavalue.rs:719`` Ord). We encode a value as a 4-field struct column
+
+    struct<t: int, i: bigint, d: double, s: string>
+
+with exactly one payload field populated per domain (unused fields are
+normalized to 0 / 0.0 / ""), so
+
+- struct EQUALITY  == value equality (disjoint domains stay distinct:
+  Int(3) != Double(3.0), matching the reference), and
+- struct ORDERING  == nemo's cross-domain total order: ``t`` carries
+  ``relative_domain_position`` (datavalue.rs:163-221), and within a domain
+  only one of i/d/s is populated, so field-wise struct comparison reduces to
+  the within-domain value order (AnyDataValue::cmp, any_datavalue.rs:719).
+  This makes ``F.min/F.max`` over value-struct columns implement nemo's
+  #min/#max directly.
+
+Integer subdomains (Int/Long/NonNegative*/Unsigned* — all i64-representable)
+collapse to one INT tag: their relative positions (100-110) exist only so the
+domain order agrees with natural integer order across disjoint ranges, which
+plain i64 ordering under a single tag already provides. u64 values above
+i64::MAX keep nemo's UnsignedLong position (110) with the value wrapped to
+i64 (monotone within the tag).
+
+Driver-side :class:`Value` mirrors AnyDataValue construction/serialization
+(``any_datavalue.rs:new_from_*``, DSV serialization ``dsv/value_format.rs``);
+the struct encoding is shared with the Catalyst expression library in
+:mod:`nemo_spark.functions.typed`.
+"""
+
+from __future__ import annotations
+
+import re
+import struct as _struct
+from dataclasses import dataclass
+from decimal import Decimal
+
+# domain tags = nemo relative_domain_position (datavalue.rs:163-221)
+T_NULL = 10
+T_IRI = 13
+T_STRING = 20
+T_LANG = 22
+T_OTHER = 24
+T_BOOLEAN = 30
+T_FLOAT = 50
+T_DOUBLE = 52
+T_INT = 100
+T_ULONG = 110  # u64 values > i64::MAX (nemo ValueDomain::UnsignedLong)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+I64_MIN = -(1 << 63)
+I64_MAX = (1 << 63) - 1
+U64_MAX = (1 << 64) - 1
+
+# Spark schema of one encoded value column
+VALUE_SCHEMA = "struct<t:int,i:bigint,d:double,s:string>"
+
+SEP = "\x00"  # payload separator inside s for LANG (text SEP tag) / OTHER (lexical SEP dtype)
+
+
+class ValueError_(ValueError):
+    """Value creation failed (nemo: DataValueCreationError => eval error =>
+    the row is dropped / the fact is rejected)."""
+
+
+@dataclass(frozen=True)
+class Value:
+    """One nemo data value in normalized struct form (t, i, d, s)."""
+
+    t: int
+    i: int = 0
+    d: float = 0.0
+    s: str = ""
+
+    # ------------------------------------------------------------ constructors
+
+    @staticmethod
+    def int(v: int) -> "Value":
+        if v < I64_MIN:
+            raise ValueError_(f"integer out of range: {v}")
+        if v > I64_MAX:
+            if v > U64_MAX:
+                raise ValueError_(f"integer out of range: {v}")
+            return Value(T_ULONG, i=v - (1 << 64))
+        return Value(T_INT, i=v)
+
+    @staticmethod
+    def double(v: float) -> "Value":
+        if v != v or v in (float("inf"), float("-inf")):
+            # nemo excludes NaN/Inf from the Double domain (datavalue.rs:58)
+            raise ValueError_(f"double not finite: {v}")
+        return Value(T_DOUBLE, d=float(v))
+
+    @staticmethod
+    def float32(v: float) -> "Value":
+        f = f32_round(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError_(f"float not finite: {v}")
+        return Value(T_FLOAT, d=f)
+
+    @staticmethod
+    def string(v: str) -> "Value":
+        return Value(T_STRING, s=v)
+
+    @staticmethod
+    def lang_string(text: str, tag: str) -> "Value":
+        return Value(T_LANG, s=text + SEP + tag.lower())
+
+    @staticmethod
+    def iri(v: str) -> "Value":
+        return Value(T_IRI, s=v)
+
+    @staticmethod
+    def boolean(v: bool) -> "Value":
+        return Value(T_BOOLEAN, i=1 if v else 0)
+
+    @staticmethod
+    def null(label: str) -> "Value":
+        return Value(T_NULL, s=label)
+
+    @staticmethod
+    def other(lexical: str, datatype: str) -> "Value":
+        return Value(T_OTHER, s=lexical + SEP + datatype)
+
+    # -------------------------------------------------------------- accessors
+
+    def lang_pair(self) -> tuple[str, str]:
+        text, _, tag = self.s.partition(SEP)
+        return text, tag
+
+    def other_pair(self) -> tuple[str, str]:
+        lex, _, dt = self.s.partition(SEP)
+        return lex, dt
+
+    def int_value(self) -> int:
+        if self.t == T_INT:
+            return self.i
+        if self.t == T_ULONG:
+            return self.i + (1 << 64)
+        raise ValueError_("not an integer")
+
+    def as_row(self) -> tuple[int, int, float, str]:
+        return (self.t, self.i, self.d, self.s)
+
+    # ---------------------------------------------------------- serialization
+
+    def datatype_iri(self) -> str | None:
+        """Canonical datatype IRI (ValueDomain::type_iri, datavalue.rs:95)."""
+        if self.t == T_STRING:
+            return XSD + "string"
+        if self.t == T_LANG:
+            return RDF_LANGSTRING
+        if self.t == T_IRI:
+            return XSD + "anyURI"
+        if self.t == T_FLOAT:
+            return XSD + "float"
+        if self.t == T_DOUBLE:
+            return XSD + "double"
+        if self.t == T_BOOLEAN:
+            return XSD + "boolean"
+        if self.t == T_ULONG:
+            return XSD + "unsignedLong"
+        if self.t == T_INT:
+            v = self.i
+            return XSD + ("int" if -(1 << 31) <= v < (1 << 31) else "long")
+        if self.t == T_OTHER:
+            return self.other_pair()[1]
+        return None  # null
+
+    def canonical(self) -> str:
+        """nemo's canonical_string per value type (string_datavalue.rs:38,
+        iri_datavalue.rs:73, float_datavalues.rs:60,143, null_datavalue.rs:48,
+        other_datavalue.rs:32, integer canonical decimal)."""
+        if self.t == T_INT:
+            return str(self.i)
+        if self.t == T_ULONG:
+            return str(self.i + (1 << 64))
+        if self.t == T_DOUBLE:
+            return quote_string(rust_f64_str(self.d)) + "^^" + quote_iri(XSD + "double")
+        if self.t == T_FLOAT:
+            return quote_string(rust_f32_str(self.d)) + "^^" + quote_iri(XSD + "float")
+        if self.t == T_STRING:
+            return quote_string(self.s)
+        if self.t == T_LANG:
+            text, tag = self.lang_pair()
+            return quote_string(text) + "@" + tag
+        if self.t == T_IRI:
+            return quote_iri(self.s)
+        if self.t == T_BOOLEAN:
+            return quote_string("true" if self.i else "false") + "^^" + quote_iri(XSD + "boolean")
+        if self.t == T_NULL:
+            return "_:" + self.s
+        if self.t == T_OTHER:
+            lex, dt = self.other_pair()
+            return quote_string(lex) + "^^" + quote_iri(dt)
+        raise ValueError_(f"unknown tag {self.t}")
+
+    def dsv_any(self) -> str:
+        """DSV export, 'anything' format: integers plain, plain strings
+        canonical (quoted), IRIs bare, rest canonical
+        (``dsv/value_format.rs:serialize_any_value_to_string``).
+
+        Integer-valued floats/doubles/booleans are NOT integers here —
+        serialize_integer_to_string only fires for integer domains."""
+        if self.t in (T_INT, T_ULONG):
+            return str(self.int_value())
+        if self.t == T_IRI:
+            return self.s
+        return self.canonical()
+
+    def lexical(self) -> str:
+        """STR()-style lexical form (LexicalValue): payload without quotes."""
+        if self.t == T_INT:
+            return str(self.i)
+        if self.t == T_ULONG:
+            return str(self.i + (1 << 64))
+        if self.t == T_DOUBLE:
+            return rust_f64_str(self.d)
+        if self.t == T_FLOAT:
+            return rust_f32_str(self.d)
+        if self.t in (T_STRING, T_IRI, T_NULL):
+            return self.s
+        if self.t == T_LANG:
+            return self.lang_pair()[0]
+        if self.t == T_BOOLEAN:
+            return "true" if self.i else "false"
+        if self.t == T_OTHER:
+            return self.other_pair()[0]
+        raise ValueError_(f"unknown tag {self.t}")
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Value({self.canonical()})"
+
+
+# ------------------------------------------------------------------ escaping
+
+
+def quote_string(s: str) -> str:
+    """datavalue.rs:15 quote_string."""
+    return (
+        '"'
+        + s.replace("\\", "\\\\").replace('"', '\\"').replace("\r", "\\r").replace("\n", "\\n")
+        + '"'
+    )
+
+
+def unescape_string(s: str) -> str:
+    out = []
+    it = iter(range(len(s)))
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            out.append({"n": "\n", "r": "\r", "t": "\t", "\\": "\\", '"': '"'}.get(n, n))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def quote_iri(s: str) -> str:
+    return f"<{s}>"
+
+
+# -------------------------------------------------------- float formatting
+
+
+def f32_round(v: float) -> float:
+    """Round a Python float (f64) to the nearest f32, returned as float."""
+    return _struct.unpack("f", _struct.pack("f", v))[0]
+
+
+def rust_f64_str(v: float) -> str:
+    """Rust's ``f64::to_string()``: shortest round-trip decimal, never
+    exponent notation, integral values without '.0' (3.0 -> "3")."""
+    s = repr(float(v))  # Python repr is also shortest-round-trip
+    if "e" in s or "E" in s:
+        s = format(Decimal(s), "f")
+    if s.endswith(".0"):
+        s = s[:-2]
+    if s == "-0":
+        return "-0"
+    return s
+
+
+def rust_f32_str(v: float) -> str:
+    """Rust's ``f32::to_string()`` for an f32 stored in a double."""
+    import numpy as np
+
+    f = np.float32(v)
+    s = np.format_float_positional(f, unique=True, trim="-")
+    return s
+
+
+# ----------------------------------------------------------------- parsing
+
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_DECIMAL_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)$")
+# nemo's fallback IRI token consumes everything except '>', ' ', '\n'
+# (parser Token::iri = is_not("> \n"), token.rs:406) — so in the DSV
+# 'anything' format ANY space/'>'-free cell that isn't numeric or quoted
+# becomes an IRI; only cells with spaces/'>' fall back to plain strings.
+_IRI_TOKEN_RE = re.compile(r"^[^> \n]+$")
+_LANG_RE = re.compile(r"^[a-zA-Z]+(-[a-zA-Z0-9]+)*$")
+
+
+def canonical_decimal(lexical: str) -> tuple[str, bool, bool]:
+    """Canonicalize a decimal literal: strip '+', leading zeros, trailing
+    fractional zeros; '-.123' -> '-0.123'. Returns (canonical,
+    has_nonzero_fraction, ok). Mirrors any_datavalue.rs
+    parse_large_decimal_literal."""
+    m = _DECIMAL_RE.match(lexical)
+    if not m:
+        return lexical, False, False
+    neg = lexical.startswith("-")
+    body = lexical.lstrip("+-")
+    if "." in body:
+        ip, fp = body.split(".", 1)
+    else:
+        ip, fp = body, ""
+    ip = ip.lstrip("0")
+    fp = fp.rstrip("0")
+    if not ip:
+        ip = "0"
+    out = ("-" if neg and (ip != "0" or fp) else "") + ip + (("." + fp) if fp else "")
+    return out, bool(fp), True
+
+
+def from_decimal_literal(lexical: str, integer_only: bool = False) -> Value:
+    """new_from_decimal_literal / new_from_integer_literal semantics:
+    i64 if it fits; u64 if it fits; trailing-zero fractions collapse to
+    integer; otherwise Other(xsd:decimal / xsd:integer)."""
+    canon, has_fraction, ok = canonical_decimal(lexical)
+    if not ok or (integer_only and "." in lexical):
+        raise ValueError_(f"not a decimal literal: {lexical}")
+    if has_fraction:
+        if integer_only:
+            raise ValueError_(f"not an integer literal: {lexical}")
+        return Value.other(canon, XSD + "decimal")
+    n = int(canon.split(".")[0])
+    if I64_MIN <= n <= U64_MAX:
+        return Value.int(n)
+    return Value.other(canon.split(".")[0], XSD + "integer")
+
+
+def from_typed_literal(lexical: str, datatype: str) -> Value:
+    """AnyDataValue::new_from_typed_literal (any_datavalue.rs:231+)."""
+    if datatype.startswith(XSD):
+        t = datatype[len(XSD):]
+        if t == "string":
+            return Value.string(lexical)
+        ranges = {
+            "long": (I64_MIN, I64_MAX),
+            "int": (-(1 << 31), (1 << 31) - 1),
+            "short": (-32768, 32767),
+            "byte": (-128, 127),
+            "unsignedInt": (0, 4294967295),
+            "unsignedShort": (0, 65535),
+            "unsignedByte": (0, 255),
+        }
+        if t in ranges:
+            if not _INT_RE.match(lexical):
+                raise ValueError_(f"bad {t} literal: {lexical}")
+            n = int(lexical)
+            lo, hi = ranges[t]
+            if not (lo <= n <= hi):
+                raise ValueError_(f"{t} out of range: {lexical}")
+            return Value.int(n)
+        if t == "unsignedLong":
+            if not _INT_RE.match(lexical) or lexical.startswith("-"):
+                raise ValueError_(f"bad unsignedLong literal: {lexical}")
+            n = int(lexical)
+            if n > U64_MAX:
+                raise ValueError_(f"unsignedLong out of range: {lexical}")
+            return Value.int(n)
+        if t in ("decimal", "integer", "positiveInteger", "nonNegativeInteger",
+                 "negativeInteger", "nonPositiveInteger"):
+            return from_decimal_literal(lexical, integer_only=(t != "decimal"))
+        if t == "double":
+            try:
+                return Value.double(float(lexical))
+            except (ValueError, OverflowError) as e:
+                raise ValueError_(f"bad double literal: {lexical}") from e
+        if t == "boolean":
+            if lexical in ("true", "1"):
+                return Value.boolean(True)
+            if lexical in ("false", "0"):
+                return Value.boolean(False)
+            raise ValueError_(f"bad boolean literal: {lexical}")
+        # xsd:float et al. fall through to Other (reference keeps them lexical)
+    if datatype == RDF_LANGSTRING:
+        # not constructible via typed literal in the reference either
+        raise ValueError_("langString requires a language tag")
+    return Value.other(lexical, datatype)
+
+
+_LITERAL_RE = re.compile(r'^"(?P<lex>(?:[^"\\]|\\.)*)"(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dt>[^>]*)>)?$')
+
+
+def parse_dsv_any(cell: str) -> Value:
+    """DSV 'anything' format parser
+    (``dsv/value_format.rs:parse_any_value_from_string``): trim; empty ->
+    ""; <iri>; leading digit/sign -> decimal literal; quoted literal with
+    optional @lang / ^^<dt>; bare tag name or absolute IRI -> IRI; else
+    plain string."""
+    cell = cell.strip()
+    if not cell:
+        return Value.string("")
+    c0 = cell[0]
+    if c0 == "<" and cell.endswith(">"):
+        return Value.iri(cell[1:-1])
+    if c0.isdigit() or c0 in "+-":
+        try:
+            return from_decimal_literal(cell)
+        except ValueError_:
+            pass
+    if c0 == '"':
+        pos = cell.rfind('"')
+        if pos == len(cell) - 1 and pos > 0:
+            return Value.string(cell[1:-1])
+        if pos > 0 and pos + 1 < len(cell) and cell[pos + 1] == "@":
+            return Value.lang_string(cell[1:pos], cell[pos + 2:])
+        if pos > 0 and cell.endswith(">") and cell[pos:pos + 4] == '"^^<':
+            try:
+                return from_typed_literal(cell[1:pos], cell[pos + 4:-1])
+            except ValueError_:
+                pass
+    if _IRI_TOKEN_RE.match(cell):
+        return Value.iri(cell)
+    return Value.string(cell)
+
+
+def parse_dsv_string(cell: str) -> Value:
+    return Value.string(cell)
+
+
+def parse_dsv_int(cell: str) -> Value:
+    return from_decimal_literal(cell.strip(), integer_only=True)
+
+
+def parse_dsv_double(cell: str) -> Value:
+    try:
+        return Value.double(float(cell.strip()))
+    except (ValueError, OverflowError) as e:
+        raise ValueError_(f"bad double: {cell}") from e
+
+
+def parse_canonical(text: str) -> Value:
+    """Parse a value from nemo's canonical/export serialization (inverse of
+    :meth:`Value.canonical` / :meth:`Value.dsv_any`): used by the golden
+    harness to compare outputs as VALUES, not strings."""
+    text_s = text.strip()
+    if not text_s:
+        return Value.string("")
+    if text_s.startswith("_:"):
+        return Value.null(text_s[2:])
+    if text_s.startswith("<") and text_s.endswith(">"):
+        return Value.iri(text_s[1:-1])
+    m = _LITERAL_RE.match(text_s)
+    if m:
+        lex = unescape_string(m.group("lex"))
+        if m.group("lang"):
+            return Value.lang_string(lex, m.group("lang"))
+        if m.group("dt") is not None:
+            if m.group("dt") == XSD + "double":
+                return Value.double(float(lex))
+            if m.group("dt") == XSD + "float":
+                return Value.float32(float(lex))
+            return from_typed_literal(lex, m.group("dt"))
+        return Value.string(lex)
+    if _INT_RE.match(text_s):
+        return from_decimal_literal(text_s)
+    return Value.iri(text_s)

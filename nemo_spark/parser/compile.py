@@ -1,0 +1,804 @@
+"""Translate a parsed ``.rls`` AST into an executable engine Program.
+
+Mirrors the reference's AST -> rule-model translation + normalization
+(``nemo/src/rule_model/translation.rs:38``,
+``nemo/src/execution/planning/normalization/{program,rule}.rs``):
+
+- prefixed names / bare constants resolve to IRIs against @prefix/@base
+- global $parameters are substituted as constants (driver-side evaluation,
+  like the reference's global-parameter transformation)
+- nested term expressions are flattened into assignment operations
+  (normalize.rs): a head term ``?a + ?b`` becomes a fresh assignment variable
+- ``?V = expr`` body items become assignments when ?V is not yet bound, and
+  equality filters otherwise
+- aggregates over expressions get an assignment for the aggregated expression;
+  remaining aggregate arguments are the DISTINCT variables
+- wildcards become fresh, per-occurrence variables
+
+All runtime expressions compile to Catalyst Columns over typed value structs
+(:mod:`nemo_spark.functions.typed`); ground expressions (facts, parameters)
+are evaluated driver-side on :class:`nemo_spark.model.values.Value`.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+
+from nemo_spark.functions import typed as T
+from nemo_spark.model.rules import Aggregate, Atom, EVar, Program, Rule, Var
+from nemo_spark.model.values import (
+    T_BOOLEAN,
+    Value,
+    ValueError_,
+    XSD,
+    f32_round,
+    from_typed_literal,
+)
+from nemo_spark.parser.rls import (
+    AtomAST,
+    ProgramAST,
+    RuleAST,
+    TAgg,
+    TCall,
+    TEVar,
+    TFString,
+    TIri,
+    TName,
+    TNum,
+    TParam,
+    TPName,
+    TString,
+    TVar,
+    TWildcard,
+)
+
+WELL_KNOWN_PREFIXES = {
+    "xsd": XSD,
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+}
+
+
+@dataclass
+class CompiledProgram:
+    program: Program
+    imports: list  # ImportAST with resolved predicate names
+    exports: list  # ExportAST
+    outputs: list[str]
+    prefixes: dict
+    base: str | None
+    # inline facts as typed Value rows per resolved predicate
+    fact_rows: dict = field(default_factory=dict)
+
+
+class CompileError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------ name resolving
+
+
+class Resolver:
+    def __init__(self, prefixes: dict, base: str | None) -> None:
+        self.prefixes = dict(WELL_KNOWN_PREFIXES)
+        self.prefixes.update(prefixes)
+        self.base = base
+
+    def pname(self, prefix: str, local: str) -> str:
+        if prefix not in self.prefixes:
+            raise CompileError(f"unknown prefix {prefix!r}")
+        return self.prefixes[prefix] + local
+
+    def bare(self, name: str) -> str:
+        """Bare name constant / predicate: relative IRI against @base."""
+        if self.base:
+            return self.base + name
+        return name
+
+    def pred(self, name: str) -> str:
+        if ":" in name and not name.startswith(("http:", "https:")):
+            p, _, l = name.partition(":")
+            if p in self.prefixes:
+                return self.prefixes[p] + l
+        if re.match(r"^[A-Za-z][A-Za-z0-9_%]*$", name):
+            return self.bare(name)
+        return name
+
+
+# -------------------------------------------------------- ground evaluation
+
+_GROUND_FNS = {}
+
+
+def _ground(name):
+    def deco(fn):
+        _GROUND_FNS[name] = fn
+        return fn
+    return deco
+
+
+def _gv_num(v: Value):
+    from nemo_spark.model.values import T_DOUBLE, T_FLOAT, T_INT
+
+    if v.t == T_INT:
+        return ("i", v.i)
+    if v.t == T_DOUBLE:
+        return ("d", v.d)
+    if v.t == T_FLOAT:
+        return ("f", v.d)
+    raise ValueError_("not numeric")
+
+
+def _gv_arith(a: Value, b: Value, int_fn, dbl_fn) -> Value:
+    ka, va = _gv_num(a)
+    kb, vb = _gv_num(b)
+    if ka == kb == "i":
+        r = int_fn(va, vb)
+        return Value.int(_check_i64(r))
+    if ka == kb == "f":
+        return Value.float32(dbl_fn(va, vb))
+    return Value.double(dbl_fn(float(va), float(vb)))
+
+
+def _check_i64(r: int) -> int:
+    if not (-(1 << 63) <= r < (1 << 63)):
+        raise ValueError_("i64 overflow")
+    return r
+
+
+@_ground("SUM")
+def _g_sum(a, b):
+    return _gv_arith(a, b, lambda x, y: x + y, lambda x, y: x + y)
+
+
+@_ground("SUBTRACTION")
+def _g_sub(a, b):
+    return _gv_arith(a, b, lambda x, y: x - y, lambda x, y: x - y)
+
+
+@_ground("PRODUCT")
+def _g_mul(a, b):
+    return _gv_arith(a, b, lambda x, y: x * y, lambda x, y: x * y)
+
+
+@_ground("DIVISION")
+def _g_div(a, b):
+    def idiv(x, y):
+        if y == 0:
+            raise ValueError_("div by zero")
+        q = abs(x) // abs(y)
+        return q if (x >= 0) == (y >= 0) else -q
+
+    def ddiv(x, y):
+        return x / y
+
+    return _gv_arith(a, b, idiv, ddiv)
+
+
+@_ground("INVERTSIGN")
+def _g_neg(a):
+    from nemo_spark.model.values import T_DOUBLE, T_FLOAT, T_INT
+
+    if a.t == T_INT:
+        return Value.int(_check_i64(-a.i))
+    if a.t == T_DOUBLE:
+        return Value.double(-a.d)
+    if a.t == T_FLOAT:
+        return Value.float32(-a.d)
+    raise ValueError_("not numeric")
+
+
+@_ground("CONCAT")
+def _g_concat(*vals):
+    from nemo_spark.model.values import T_STRING
+
+    if any(v.t != T_STRING for v in vals):
+        raise ValueError_("CONCAT needs strings")
+    return Value.string("".join(v.s for v in vals))
+
+
+@_ground("STR")
+def _g_str(a):
+    return Value.string(a.lexical())
+
+
+@_ground("EQUALITY")
+def _g_eq(a, b):
+    return Value.boolean(a == b)
+
+
+@_ground("UNEQUALITY")
+def _g_neq(a, b):
+    return Value.boolean(a != b)
+
+
+def _g_numcmp(a, b, op):
+    ka, va = _gv_num(a)
+    kb, vb = _gv_num(b)
+    if ka == kb == "i":
+        return Value.boolean(op(va, vb))
+    return Value.boolean(op(float(va), float(vb)))
+
+
+@_ground("NUMLESS")
+def _g_lt(a, b):
+    return _g_numcmp(a, b, lambda x, y: x < y)
+
+
+@_ground("NUMLESSEQ")
+def _g_le(a, b):
+    return _g_numcmp(a, b, lambda x, y: x <= y)
+
+
+@_ground("NUMGREATER")
+def _g_gt(a, b):
+    return _g_numcmp(a, b, lambda x, y: x > y)
+
+
+@_ground("NUMGREATEREQ")
+def _g_ge(a, b):
+    return _g_numcmp(a, b, lambda x, y: x >= y)
+
+
+class GroundEval:
+    """Driver-side evaluation of ground expressions (facts, parameters)."""
+
+    def __init__(self, resolver: Resolver, params: dict) -> None:
+        self.resolver = resolver
+        self.params = params
+
+    def eval(self, node) -> Value:
+        if isinstance(node, TNum):
+            return _num_value(node)
+        if isinstance(node, TString):
+            return _string_value(node, self.resolver)
+        if isinstance(node, TIri):
+            return Value.iri(node.iri)
+        if isinstance(node, TPName):
+            return Value.iri(self.resolver.pname(node.prefix, node.local))
+        if isinstance(node, TName):
+            if node.name == "true":
+                return Value.boolean(True)
+            if node.name == "false":
+                return Value.boolean(False)
+            return Value.iri(self.resolver.bare(node.name))
+        if isinstance(node, TParam):
+            if node.name not in self.params:
+                raise CompileError(f"undefined parameter ${node.name}")
+            return self.params[node.name]
+        if isinstance(node, TFString):
+            out = []
+            for p in node.parts:
+                out.append(p if isinstance(p, str) else self.eval(p).lexical())
+            return Value.string("".join(out))
+        if isinstance(node, TCall):
+            fn = _GROUND_FNS.get(node.fn)
+            if fn is None:
+                raise CompileError(f"ground evaluation of {node.fn} not supported")
+            return fn(*[self.eval(a) for a in node.args])
+        raise CompileError(f"not a ground term: {node!r}")
+
+
+def _num_value(node: TNum) -> Value:
+    if node.radix != 10:
+        neg = node.text.startswith("-")
+        n = int(node.text, node.radix)
+        if -(1 << 63) <= n < (1 << 63):
+            return Value.int(n)
+        # beyond i64: the reference keeps the decimal digits as an Other
+        # value with the LITERAL datatype string "xsd:integer" (not expanded;
+        # translation/basic/enc_number.rs:27)
+        return Value.other(str(n), "xsd:integer")
+    text = node.text
+    if node.marker == "f":
+        return Value.float32(float(text))
+    if node.marker == "d":
+        return Value.double(float(text))
+    # Number::value (number.rs:119): i64 first, then double, then float
+    is_plain_int = "." not in text and "e" not in text and "E" not in text
+    if is_plain_int:
+        n = int(text)
+        if -(1 << 63) <= n < (1 << 63):
+            return Value.int(n)
+        return Value.other(text.lstrip("+"), "xsd:integer")
+    try:
+        return Value.double(float(text))
+    except (ValueError, OverflowError):
+        pass
+    return Value.other(text, "xsd:decimal")
+
+
+def _string_value(node: TString, resolver: Resolver) -> Value:
+    if node.lang:
+        return Value.lang_string(node.text, node.lang)
+    if node.datatype:
+        if node.datatype[0] == "iri":
+            dt = node.datatype[1]
+        else:
+            dt = resolver.pname(node.datatype[1], node.datatype[2])
+        return from_typed_literal(node.text, dt)
+    return Value.string(node.text)
+
+
+# ------------------------------------------------------ expression compiler
+
+def _fold2(f):
+    """nemo's arithmetic/boolean/min-max builtins are n-ary
+    (operation_kind.rs Nary variants): fold left over the binary typed op.
+    Arguments are already flattened column refs, so nesting depth stays the
+    argument count (small)."""
+    from functools import reduce
+
+    return lambda *args: reduce(f, args)
+
+
+# typed.py implementations per canonical builtin name
+_FN_IMPL = {
+    "EQUALITY": T.t_equal,
+    "UNEQUALITY": T.t_unequal,
+    "NUMGREATER": T.t_gt,
+    "NUMGREATEREQ": T.t_ge,
+    "NUMLESS": T.t_lt,
+    "NUMLESSEQ": T.t_le,
+    "SUM": _fold2(T.t_sum),
+    "SUBTRACTION": _fold2(T.t_subtraction),
+    "PRODUCT": _fold2(T.t_product),
+    "DIVISION": _fold2(T.t_division),
+    "REM": T.t_remainder,
+    "POW": T.t_power,
+    "LOG": T.t_logarithm,
+    "MIN": _fold2(T.t_minimum),
+    "MAX": _fold2(T.t_maximum),
+    "LUKA": _fold2(T.t_lukasiewicz),
+    "ABS": T.t_absolute,
+    "INVERTSIGN": T.t_negation,
+    "SQRT": T.t_squareroot,
+    "SIN": T.t_sin,
+    "COS": T.t_cos,
+    "TAN": T.t_tan,
+    "CEIL": T.t_ceil,
+    "FLOOR": T.t_floor,
+    "ROUND": T.t_round,
+    "BITAND": _fold2(T.t_bit_and),
+    "BITOR": _fold2(T.t_bit_or),
+    "BITXOR": _fold2(T.t_bit_xor),
+    "BITSHL": T.t_bit_shl,
+    "BITSHR": T.t_bit_shr,
+    "BITSHRU": T.t_bit_shru,
+    "AND": _fold2(T.t_and),
+    "OR": _fold2(T.t_or),
+    "NOT": T.t_not,
+    "CONCAT": T.t_concat,
+    "CONTAINS": T.t_contains,
+    "STRSTARTS": T.t_starts,
+    "STRENDS": T.t_ends,
+    "STRBEFORE": T.t_strbefore,
+    "STRAFTER": T.t_strafter,
+    "SUBSTR": T.t_substring,
+    "REGEX": T.t_regex,
+    "STRLEN": T.t_strlen,
+    "STRREV": T.t_reverse,
+    "LCASE": T.t_lower,
+    "UCASE": T.t_upper,
+    "URIENCODE": T.t_uriencode,
+    "URIDECODE": T.t_uridecode,
+    "LEVENSHTEIN": T.t_levenshtein,
+    "COMPARE": T.t_strcompare,
+    "STR": T.t_str,
+    "fullStr": T.t_fullstr,
+    "DATATYPE": T.t_datatype,
+    "LANG": T.t_lang,
+    "STRLANG": T.t_strlang,
+    "INT": T.t_cast_int,
+    "DOUBLE": T.t_cast_double,
+    "FLOAT": T.t_cast_float,
+    "IRI": T.t_cast_iri,
+    "isInteger": T.t_is_integer,
+    "isFloat": T.t_is_float,
+    "isDouble": T.t_is_double,
+    "isIri": T.t_is_iri,
+    "isNumeric": T.t_is_numeric,
+    "isNull": T.t_is_null,
+    "isString": T.t_is_string,
+}
+
+
+class ExprCompiler:
+    """Compiles term expressions to Catalyst.
+
+    CRITICAL SHAPE NOTE: typed operations (functions/typed.py) reference each
+    argument several times (domain dispatch + guards), so NESTED calls inline
+    naively would blow up exponentially (a 5-deep arithmetic chain becomes a
+    ~10^5-node Catalyst tree — observed as a 25 GB driver plan). Like the
+    reference's StackProgram (nemo-physical/src/function/evaluation.rs:72),
+    nested expressions are therefore flattened into one temporary column per
+    operator node (``compile_steps``); every argument is then a plain column
+    reference and expression size stays linear."""
+
+    def __init__(self, ground: GroundEval) -> None:
+        self.ground = ground
+
+    def is_ground(self, node) -> bool:
+        if isinstance(node, (TVar, TEVar, TWildcard, TAgg)):
+            return False
+        if isinstance(node, TCall):
+            return all(self.is_ground(a) for a in node.args)
+        if isinstance(node, TFString):
+            return all(isinstance(p, str) or self.is_ground(p) for p in node.parts)
+        return True
+
+    def variables(self, node) -> set[str]:
+        if isinstance(node, TVar):
+            return {node.name}
+        if isinstance(node, TCall):
+            return set().union(*[self.variables(a) for a in node.args]) if node.args else set()
+        if isinstance(node, TAgg):
+            return set().union(*[self.variables(a) for a in node.args]) if node.args else set()
+        if isinstance(node, TFString):
+            out: set[str] = set()
+            for p in node.parts:
+                if not isinstance(p, str):
+                    out |= self.variables(p)
+            return out
+        return set()
+
+    def compile(self, node):
+        """-> callable(colmap) -> struct Column.
+
+        Ground CALLS still compile to Catalyst expressions over literals
+        (constant-folded by the optimizer) — only leaf constants evaluate
+        driver-side, so every builtin needs exactly one implementation."""
+        if isinstance(node, TVar):
+            name = node.name
+            return lambda cols: cols[name]
+        if isinstance(node, TCall):
+            impl = _FN_IMPL.get(node.fn)
+            if impl is None:
+                raise CompileError(f"builtin {node.fn} not implemented")
+            args = [self.compile(a) for a in node.args]
+            return lambda cols: impl(*[a(cols) for a in args])
+        if isinstance(node, TFString):
+            pieces = []
+            for p in node.parts:
+                if isinstance(p, str):
+                    pieces.append(lambda cols, s=p: T.lit_value(Value.string(s)))
+                else:
+                    sub = self.compile(p)
+                    pieces.append(lambda cols, sub=sub: T.t_str(sub(cols)))
+            return lambda cols: T.t_concat(*[p(cols) for p in pieces])
+        v = self.ground.eval(node)
+        return lambda cols, v=v: T.lit_value(v)
+
+    def compile_steps(self, node, steps: list, fresh) -> "callable":
+        """Flattening compiler: appends (tmp_name, fn) assignment steps for
+        every nested call and returns a fn for the top node whose arguments
+        are only column refs / literals."""
+        if isinstance(node, TVar):
+            name = node.name
+            return lambda cols: cols[name]
+        if isinstance(node, TCall):
+            impl = _FN_IMPL.get(node.fn)
+            if impl is None:
+                raise CompileError(f"builtin {node.fn} not implemented")
+            arg_fns = []
+            for a in node.args:
+                if isinstance(a, (TCall, TFString)):
+                    sub = self.compile_steps(a, steps, fresh)
+                    tmp = fresh("t")
+                    steps.append((tmp, sub))
+                    arg_fns.append(lambda cols, tmp=tmp: cols[tmp])
+                else:
+                    arg_fns.append(self.compile_steps(a, steps, fresh))
+            return lambda cols: impl(*[f(cols) for f in arg_fns])
+        if isinstance(node, TFString):
+            part_fns = []
+            for p in node.parts:
+                if isinstance(p, str):
+                    part_fns.append(lambda cols, s=p: T.lit_value(Value.string(s)))
+                else:
+                    sub = self.compile_steps(p, steps, fresh)
+                    tmp = fresh("t")
+                    steps.append((tmp, sub))
+                    part_fns.append(lambda cols, tmp=tmp: T.t_str(cols[tmp]))
+            return lambda cols: T.t_concat(*[f(cols) for f in part_fns])
+        v = self.ground.eval(node)
+        return lambda cols, v=v: T.lit_value(v)
+
+
+# ------------------------------------------------------------- rule builder
+
+
+def compile_program(ast: ProgramAST) -> CompiledProgram:
+    resolver = Resolver(ast.prefixes, ast.base)
+    params: dict[str, Value] = {}
+    ground = GroundEval(resolver, params)
+    for name, expr in ast.parameters:
+        params[name] = ground.eval(expr)
+    ec = ExprCompiler(ground)
+
+    fact_rows: dict[str, list[tuple]] = {}
+    for fatom in ast.facts:
+        pred = resolver.pred(fatom.pred)
+        try:
+            row = tuple(ground.eval(t) for t in fatom.terms)
+        except ValueError_:
+            continue  # evaluation error in a fact => fact dropped
+        fact_rows.setdefault(pred, []).append(row)
+
+    rules = []
+    for ridx, rast in enumerate(ast.rules):
+        rules.extend(_compile_rule(rast, ridx, resolver, ec))
+
+    outputs = [resolver.pred(p) for p in ast.outputs]
+    imports = []
+    for imp in ast.imports:
+        imp.pred = resolver.pred(imp.pred)
+        imports.append(imp)
+    exports = []
+    for exp in ast.exports:
+        exp.pred = resolver.pred(exp.pred)
+        exports.append(exp)
+
+    program = Program(rules=rules, facts={}, outputs=outputs)
+    return CompiledProgram(
+        program=program,
+        imports=imports,
+        exports=exports,
+        outputs=outputs,
+        prefixes=resolver.prefixes,
+        base=ast.base,
+        fact_rows=fact_rows,
+    )
+
+
+def _contains_agg(node) -> bool:
+    if isinstance(node, TAgg):
+        return True
+    if isinstance(node, TCall):
+        return any(_contains_agg(a) for a in node.args)
+    if isinstance(node, TFString):
+        return any(not isinstance(p, str) and _contains_agg(p) for p in node.parts)
+    return False
+
+
+def _find_agg(node) -> TAgg | None:
+    if isinstance(node, TAgg):
+        return node
+    if isinstance(node, TCall):
+        for a in node.args:
+            r = _find_agg(a)
+            if r is not None:
+                return r
+    return None
+
+
+def _replace_agg(node, repl):
+    if isinstance(node, TAgg):
+        return repl
+    if isinstance(node, TCall):
+        return TCall(node.fn, tuple(_replace_agg(a, repl) for a in node.args))
+    return node
+
+
+def _compile_rule(rast: RuleAST, ridx: int, resolver: Resolver, ec: ExprCompiler) -> list[Rule]:
+    """One AST rule -> one or more engine rules.
+
+    Aggregates nested in head expressions (``#count(?Z) * 2``,
+    ``?X + #sum(?Y * ?Z)``) are normalized like the reference
+    (rule_model normalization): the rule is rewritten into an intermediate
+    aggregate rule grouping by ALL universal head variables, plus a
+    projection rule applying the post-aggregation arithmetic. Multi-head
+    rules with an aggregate are split per head atom first (each head atom
+    evaluated over the same body, the aggregate local to its atom)."""
+    has_nested = any(
+        _contains_agg(t) and not isinstance(t, TAgg)
+        for h in rast.heads
+        for t in h.terms
+    )
+    multi_head_agg = len(rast.heads) > 1 and any(
+        _contains_agg(t) for h in rast.heads for t in h.terms
+    )
+    if not (has_nested or multi_head_agg):
+        return [_compile_simple_rule(rast, f"r{ridx}", resolver, ec)]
+
+    out: list[Rule] = []
+    for hidx, head in enumerate(rast.heads):
+        sub = RuleAST([head], rast.body)
+        tag = f"r{ridx}h{hidx}" if len(rast.heads) > 1 else f"r{ridx}"
+        agg_terms = [t for t in head.terms if _contains_agg(t)]
+        if not agg_terms:
+            out.append(_compile_simple_rule(sub, tag, resolver, ec))
+            continue
+        if len(agg_terms) > 1:
+            raise CompileError("at most one aggregate per rule")
+        term = agg_terms[0]
+        if isinstance(term, TAgg):
+            out.append(_compile_simple_rule(sub, tag, resolver, ec))
+            continue
+        # nested aggregate: intermediate agg rule + projection rule.
+        # Group-by = the head's OTHER terms (each non-var term becomes its
+        # own computed group column) PLUS any variables appearing inside the
+        # aggregate term but outside the aggregate itself (e.g. ?Z in
+        # ``?Z * #sum(?Y)`` — verified against the reference's
+        # aggregate/arithmetic golden outputs).
+        agg = _find_agg(term)
+        mid_pred = f"__agg_{tag}"
+        mid_terms: list = []   # intermediate head terms (before the agg)
+        proj_slots: list = []  # per final-head slot: term for the projection head
+        proj_body_terms: list = []  # matching terms of the projection body atom
+        gi = 0
+        for t in head.terms:
+            if _contains_agg(t):
+                proj_slots.append(None)  # filled with the post-agg expression
+                continue
+            if isinstance(t, (TVar,)) or ec.is_ground(t):
+                mid_terms.append(t)
+                proj_body_terms.append(t)
+                proj_slots.append(t)
+            else:
+                g = TVar(f"__g{gi}")
+                gi += 1
+                mid_terms.append(t)  # expression => assignment + group column
+                proj_body_terms.append(g)
+                proj_slots.append(g)
+        post_expr = _replace_agg(term, TVar("__aggout"))
+        known = {x.name for x in proj_body_terms if isinstance(x, TVar)}
+        extra = [v for v in sorted(ec.variables(post_expr)) if v != "__aggout" and v not in known]
+        mid_head = AtomAST(
+            mid_pred, tuple(mid_terms) + tuple(TVar(v) for v in extra) + (agg,)
+        )
+        out.append(_compile_simple_rule(RuleAST([mid_head], rast.body), tag + "a", resolver, ec))
+        proj_body = [
+            (
+                "atom",
+                AtomAST(
+                    mid_pred,
+                    tuple(proj_body_terms) + tuple(TVar(v) for v in extra) + (TVar("__aggout"),),
+                ),
+            )
+        ]
+        proj_terms = tuple(post_expr if s is None else s for s in proj_slots)
+        out.append(
+            _compile_simple_rule(RuleAST([AtomAST(head.pred, proj_terms)], proj_body), tag + "p", resolver, ec)
+        )
+    return out
+
+
+def _compile_simple_rule(rast: RuleAST, label: str, resolver: Resolver, ec: ExprCompiler) -> Rule:
+    fresh = itertools.count()
+
+    def fresh_var(tag: str) -> str:
+        return f"__{tag}_{label}_{next(fresh)}"
+
+    body_atoms: list[Atom] = []
+    negated: list[Atom] = []
+    filters = []
+    assignments: list[tuple[str, object]] = []
+    bound: set[str] = set()
+
+    def atom_terms(aast: AtomAST, bind: bool) -> Atom:
+        terms = []
+        for t in aast.terms:
+            if isinstance(t, TVar):
+                terms.append(Var(t.name))
+                if bind:
+                    bound.add(t.name)
+            elif isinstance(t, TWildcard):
+                terms.append(Var(fresh_var("w")))
+            elif isinstance(t, TEVar):
+                raise CompileError("existential variable in rule body")
+            elif ec.is_ground(t):
+                terms.append(ec.ground.eval(t))
+            else:
+                raise CompileError(f"complex body atom term {t!r} (not normalized)")
+        return Atom(resolver.pred(aast.pred), *terms)
+
+    # positive atoms first (binding), then others
+    exprs = []
+    for kind, item in rast.body:
+        if kind == "atom":
+            body_atoms.append(atom_terms(item, bind=True))
+        elif kind == "neg":
+            negated.append(atom_terms(item, bind=False))
+        else:
+            exprs.append(item)
+
+    # classify expressions: assignments vs filters; iterate so chained
+    # assignments (?Q = ?R + ?S after ?R, ?S defined) resolve in order
+    pending = list(exprs)
+    progress = True
+    while pending and progress:
+        progress = False
+        rest = []
+        for e in pending:
+            if (
+                isinstance(e, TCall)
+                and e.fn == "EQUALITY"
+                and isinstance(e.args[0], TVar)
+                and e.args[0].name not in bound
+                and ec.variables(e.args[1]) <= bound
+            ):
+                var = e.args[0].name
+                fn = ec.compile_steps(e.args[1], assignments, fresh_var)
+                assignments.append((var, fn))
+                bound.add(var)
+                progress = True
+            elif (
+                isinstance(e, TCall)
+                and e.fn == "EQUALITY"
+                and isinstance(e.args[1], TVar)
+                and e.args[1].name not in bound
+                and ec.variables(e.args[0]) <= bound
+            ):
+                var = e.args[1].name
+                fn = ec.compile_steps(e.args[0], assignments, fresh_var)
+                assignments.append((var, fn))
+                bound.add(var)
+                progress = True
+            elif ec.variables(e) <= bound:
+                fn = ec.compile_steps(e, assignments, fresh_var)
+                filters.append(lambda cols, fn=fn: T.as_bool(fn(cols)))
+                progress = True
+            else:
+                rest.append(e)
+        pending = rest
+    if pending:
+        raise CompileError(f"unbound variables in body expressions: {pending!r}")
+
+    # heads: normalize expressions / aggregates into assignments
+    head_atoms: list[Atom] = []
+    agg_seen: Aggregate | None = None
+    for hast in rast.heads:
+        terms = []
+        for t in hast.terms:
+            if isinstance(t, TVar):
+                terms.append(Var(t.name))
+            elif isinstance(t, TEVar):
+                terms.append(EVar(t.name))
+            elif isinstance(t, TAgg):
+                agg_var_node = t.args[0]
+                if isinstance(agg_var_node, TVar):
+                    avar = Var(agg_var_node.name)
+                else:
+                    name = fresh_var("agg")
+                    fn = ec.compile_steps(agg_var_node, assignments, fresh_var)
+                    assignments.append((name, fn))
+                    avar = Var(name)
+                distinct = []
+                seen_d: set[str] = set()
+                for a in t.args[1:]:
+                    if not isinstance(a, TVar):
+                        raise CompileError("aggregate distinct terms must be variables")
+                    if a.name not in seen_d:
+                        seen_d.add(a.name)
+                        distinct.append(Var(a.name))
+                agg = Aggregate(t.op, avar, tuple(distinct))
+                agg_seen = agg
+                terms.append(agg)
+            elif ec.is_ground(t):
+                terms.append(ec.ground.eval(t))
+            else:
+                # head expression over body vars -> assignment variable
+                name = fresh_var("h")
+                fn = ec.compile_steps(t, assignments, fresh_var)
+                assignments.append((name, fn))
+                terms.append(Var(name))
+        head_atoms.append(Atom(resolver.pred(hast.pred), *terms))
+
+    if agg_seen is not None and len(head_atoms) > 1:
+        raise CompileError("aggregates require a single head atom")
+
+    return Rule(
+        head=head_atoms[0],
+        body=body_atoms,
+        extra_heads=head_atoms[1:],
+        negated=negated,
+        filters=filters,
+        assignments=assignments,
+        name=label,
+    )

@@ -1,0 +1,266 @@
+"""Execute a parsed ``.rls`` program end-to-end on Spark.
+
+The Spark-native counterpart of the reference CLI (``nmo program.rls``,
+``nemo-cli/src/main.rs:154+``): parse -> compile -> attach imports (typed DSV
+/ RDF readers) -> semi-naive fixpoint -> export / inspect tables. All values
+flow as typed structs (model/values.py), so exported cells reproduce nemo's
+DSV serialization byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nemo_spark.engine.seminaive import SemiNaiveEngine
+from nemo_spark.functions.typed import dsv_any_col
+from nemo_spark.model.values import Value
+from nemo_spark.parser.compile import CompiledProgram, CompileError, GroundEval, compile_program
+from nemo_spark.parser.rls import TVar, parse_rls
+from nemo_spark.sources.dsv_typed import (
+    empty_typed_df,
+    peek_field_count,
+    read_dsv_typed,
+    typed_rows_df,
+)
+
+_EXT = {"csv": "csv", "tsv": "tsv", "dsv": "dsv"}
+_DELIM = {"csv": ",", "tsv": "\t"}
+
+
+def sanitize_pred(pred: str) -> str:
+    """Export filename sanitization (IRIs become file-safe names, e.g.
+    ``https://example.org/result`` -> ``https___example.org_result`` as in
+    the reference's golden layout)."""
+    return re.sub(r"[^A-Za-z0-9_.\-]", "_", pred)
+
+
+class RlsRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        rls_path: str | None = None,
+        source: str | None = None,
+        workdir: str | None = None,
+        chase: str = "restricted",
+    ) -> None:
+        self.spark = spark
+        if source is None:
+            with open(rls_path) as f:
+                source = f.read()
+            workdir = workdir or os.path.dirname(os.path.abspath(rls_path))
+        self.workdir = workdir or "."
+        self.ast = parse_rls(source)
+        self.compiled: CompiledProgram = compile_program(self.ast)
+        self.engine = SemiNaiveEngine(spark, chase=chase)
+        self._ran = False
+        # Typed-value expressions (casts, canonical serialization) exceed the
+        # JVM's 64KB generated-method limit; janino then spends seconds per
+        # stage FAILING to compile before falling back to interpreted eval.
+        # Skip the doomed compilation attempts up front: the parity engine
+        # runs testcase-sized data where interpreted expressions are faster
+        # than failed codegen. (Session-level; harmless for other workloads
+        # on the same session at this data scale.)
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+
+    # ------------------------------------------------------------- imports
+
+    def _option_value(self, imp, key, default=None):
+        node = imp.options.get(key)
+        if node is None:
+            return default
+        if isinstance(node, tuple):
+            return tuple(self._eval_option_node(n, imp) for n in node)
+        return self._eval_option_node(node, imp)
+
+    def _eval_option_node(self, node, imp) -> Value:
+        from nemo_spark.parser.rls import TCall, TFString, TName
+
+        env: dict[str, Value] = {}
+        ge = GroundEval(_ResolverView(self.compiled), {})
+        for item in getattr(imp, "body", []):
+            kind, e = item if isinstance(item, tuple) else ("expr", item)
+            if (
+                isinstance(e, TCall)
+                and e.fn == "EQUALITY"
+                and isinstance(e.args[0], TVar)
+            ):
+                env[e.args[0].name] = ge.eval(e.args[1])
+
+        def ev(n):
+            if isinstance(n, TVar):
+                if n.name not in env:
+                    raise CompileError(f"unbound option variable ?{n.name}")
+                return env[n.name]
+            if isinstance(n, TFString):
+                out = []
+                for p in n.parts:
+                    out.append(p if isinstance(p, str) else ev(p).lexical())
+                return Value.string("".join(out))
+            if isinstance(n, TCall):
+                from nemo_spark.parser.compile import _GROUND_FNS
+
+                fn = _GROUND_FNS.get(n.fn)
+                if fn is None:
+                    raise CompileError(f"option fn {n.fn} unsupported")
+                return fn(*[ev(a) for a in n.args])
+            return ge.eval(n)
+
+        return ev(node)
+
+    def _formats(self, imp, arity_hint: int | None) -> list[str]:
+        fmt = self._option_value(imp, "format")
+        if fmt is not None:
+            if isinstance(fmt, tuple):
+                return [v.lexical() for v in fmt]
+            return [fmt.lexical()]
+        n = arity_hint
+        if n is None:
+            res = self._resource(imp)
+            n = peek_field_count(self.spark, res, self._delimiter(imp))
+        return ["any"] * n
+
+    def _delimiter(self, imp) -> str:
+        if imp.fmt in _DELIM:
+            return _DELIM[imp.fmt]
+        d = self._option_value(imp, "delimiter")
+        return d.lexical() if d is not None else ","
+
+    def _resource(self, imp) -> str:
+        r = self._option_value(imp, "resource")
+        if r is None:
+            name = sanitize_pred(imp.pred) + "." + _EXT.get(imp.fmt, imp.fmt)
+            return os.path.join(self.workdir, name)
+        path = r.lexical()
+        if re.match(r"^[a-z][a-z0-9+.-]*://", path):
+            return path
+        return os.path.join(self.workdir, path)
+
+    def _load_import(self, imp, arity_hint: int | None) -> tuple[DataFrame, int]:
+        res = self._resource(imp)
+        if imp.fmt in ("csv", "tsv", "dsv"):
+            fmts = self._formats(imp, arity_hint)
+            quoting = self._option_value(imp, "quoting")
+            ignore_headers = self._option_value(imp, "ignore_headers")
+            df = read_dsv_typed(
+                self.spark,
+                res,
+                fmts,
+                delimiter=self._delimiter(imp),
+                quoting=(quoting is None or quoting.lexical() == "true"),
+                ignore_headers=(ignore_headers is not None and ignore_headers.lexical() == "true"),
+            )
+            return df, len([f for f in fmts if f != "skip"])
+        if imp.fmt in ("rdf", "ntriples", "turtle", "nquads"):
+            from nemo_spark.sources.rdf_typed import read_rdf_typed
+
+            df = read_rdf_typed(self.spark, res, imp.fmt)
+            return df, len(df.columns)
+        if imp.fmt == "json":
+            from nemo_spark.sources.json_typed import read_json_typed
+
+            return read_json_typed(self.spark, res), 3
+        raise CompileError(f"unsupported import format {imp.fmt}")
+
+    # ------------------------------------------------------------------ run
+
+    def run(self) -> "RlsRunner":
+        arities = dict(self.compiled.program.predicates())
+        for pred, rows in self.compiled.fact_rows.items():
+            arities.setdefault(pred, len(rows[0]) if rows else 1)
+
+        frames: dict[str, DataFrame] = {}
+        for imp in self.compiled.imports:
+            df, n = self._load_import(imp, arities.get(imp.pred))
+            arities.setdefault(imp.pred, n)
+            frames[imp.pred] = frames[imp.pred].unionByName(df) if imp.pred in frames else df
+        for pred, rows in self.compiled.fact_rows.items():
+            df = typed_rows_df(self.spark, rows, arities[pred])
+            frames[pred] = frames[pred].unionByName(df) if pred in frames else df
+        for pred, df in frames.items():
+            self.engine.register(pred, df)
+        # declared-but-empty predicates referenced in rule bodies
+        for pred, n in arities.items():
+            if pred not in frames and pred not in self.compiled.program.idb_predicates():
+                self.engine.register(pred, empty_typed_df(self.spark, n))
+        self.engine.run(self.compiled.program)
+        self._ran = True
+        return self
+
+    def table(self, pred: str) -> DataFrame:
+        return self.engine.table(pred)
+
+    def export_frames(self) -> dict[str, tuple[DataFrame, object]]:
+        """{sanitized_name.ext: (typed DataFrame, ExportAST)} per @export."""
+        out = {}
+        for exp in self.compiled.exports:
+            r = self._option_value(exp, "resource")
+            if r is not None:
+                name = r.lexical()
+            else:
+                name = sanitize_pred(exp.pred) + "." + _EXT.get(exp.fmt, exp.fmt)
+            out[name] = (self.table(exp.pred), exp)
+        return out
+
+    def serialized(self, pred: str) -> DataFrame:
+        """Export serialization: each value column as its DSV-any string.
+
+        Uses an Arrow-batched pandas UDF over Value.dsv_any rather than the
+        Catalyst expression (dsv_any_col): the pure-expression double
+        formatter exceeds the JVM's 64KB codegen method limit when repeated
+        per column, and export is a one-shot boundary operation anyway."""
+        df = self.table(pred)
+        return df.mapInPandas(_serialize_batches(df.columns), schema=", ".join(f"{c} string" for c in df.columns))
+
+    def write_exports(self, out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        for name, (df, exp) in self.export_frames().items():
+            sep = _DELIM.get(exp.fmt) or (
+                self._option_value(exp, "delimiter").lexical()
+                if "delimiter" in exp.options
+                else ","
+            )
+            ser = df.select(*[dsv_any_col(F.col(c)).alias(c) for c in df.columns])
+            ser.write.mode("overwrite").option("sep", sep).csv(os.path.join(out_dir, name))
+
+
+def _serialize_batches(cols):
+    import pandas as pd
+
+    def f(batches):
+        for pdf in batches:
+            out = {}
+            for c in cols:
+                out[c] = [
+                    None if v is None else Value(v["t"], v["i"], v["d"], v["s"]).dsv_any()
+                    for v in pdf[c]
+                ]
+            yield pd.DataFrame(out)
+
+    return f
+
+
+class _ResolverView:
+    """Adapter giving GroundEval resolver access from a CompiledProgram."""
+
+    def __init__(self, compiled: CompiledProgram) -> None:
+        from nemo_spark.parser.compile import Resolver
+
+        self._r = Resolver(compiled.prefixes, compiled.base)
+
+    def pname(self, p, l):
+        return self._r.pname(p, l)
+
+    def bare(self, n):
+        return self._r.bare(n)
+
+    def pred(self, n):
+        return self._r.pred(n)
+
+
+def run_rls(spark: SparkSession, rls_path: str, chase: str = "restricted") -> RlsRunner:
+    return RlsRunner(spark, rls_path=rls_path, chase=chase).run()

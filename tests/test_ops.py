@@ -181,3 +181,31 @@ def test_extend_nonmonotone_aggregate_no_stale_rows(spark):
     eng.extend(prog, {"r": spark.createDataFrame([(1, 12)], ["a", "b"])})
     # count=2 must be gone, only count=3 remains
     assert {(r.c0, r.c1) for r in eng.table("cnt").collect()} == {(1, 3)}
+
+
+def test_trace_tree_symmetric_tc(spark):
+    """Recursive derivation trees (nemo ExecutionTraceTree shape): a derived
+    closure fact traces back through the deriving rule to EDB leaves."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("conn", X, Y), body=[Atom("edge", X, Y)], name="base"),
+            Rule(head=Atom("conn", X, Z), body=[Atom("conn", X, Y), Atom("edge", Y, Z)], name="step"),
+        ]
+    )
+    eng = SemiNaiveEngine(spark, trace=True)
+    eng.register("edge", spark.createDataFrame([("a", "b"), ("b", "c")], ["s", "o"]))
+    eng.run(prog)
+
+    tree = eng.trace_tree("conn", ("a", "c"))
+    assert tree is not None and tree["rule"] == "step"
+    # premises: conn(a,b) via base <- edge(a,b); edge(b,c) as input leaf
+    kinds = {(p["fact"][0], p["rule"]) for p in tree["premises"]}
+    assert ("conn", "base") in kinds and ("edge", None) in kinds
+    base_node = next(p for p in tree["premises"] if p["fact"][0] == "conn")
+    assert base_node["premises"][0]["fact"] == ("edge", ("a", "b"))
+    ascii_out = SemiNaiveEngine.format_trace(tree)
+    assert "conn(a, c) <- step" in ascii_out and "edge(a, b) (input)" in ascii_out

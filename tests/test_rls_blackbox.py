@@ -1,0 +1,167 @@
+"""Blackbox golden tests: run the reference's OWN ``.rls`` testcase programs
+through the parser-driven engine with ZERO hand translation, and compare each
+``@export`` against the reference's golden CSVs.
+
+Mirror of the reference harness (``nemo-cli/tests/blackbox_integration.rs:56-135``):
+order-insensitive comparison of export files; cells are compared as csv-parsed
+fields (equivalent to the reference's sorted-raw-line compare up to CSV
+quoting canonicalization). Labeled nulls are engine-specific tokens, so they
+are compared up to bijective renaming (wildcard + distinct-count, the same
+scheme as test_restricted_chase.py)."""
+
+from __future__ import annotations
+
+import csv
+import os
+import re
+
+import pytest
+
+from tests.golden import TESTCASES, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available, reason="reference testcases not present")
+
+NULL_RE = re.compile(r"^_:\S+$")
+
+# suite/case entries: each is an .rls path relative to TESTCASES whose golden
+# directory sits next to it (same name, no extension)
+CASES = [
+    "basic/join.rls",
+    "basic/union.rls",
+    "basic/projection.rls",
+    "basic/negation.rls",
+    "basic/assignment.rls",
+    "basic/encodings.rls",
+    "basic/parameter_declaration.rls",
+    "aggregate/groupBy.rls",
+    "aggregate/firstVariable.rls",
+    "aggregate/lastVariable.rls",
+    "aggregate/anyCount.rls",
+    "aggregate/distinct.rls",
+    "aggregate/filtered.rls",
+    "aggregate/groupByIdempotent.rls",
+    "aggregate/stratification.rls",
+    "aggregate/arithmetic.rls",
+    "arithmetic/builtins.rls",
+    "arithmetic/filter.rls",
+    "arithmetic/negation.rls",
+    "arithmetic/numeric_bounds.rls",
+    "regression/wildcards/run.rls",
+    "regression/datalog_constants/run.rls",
+    "regression/variable_comparisons/run.rls",
+    "regression/unbound_negation/run.rls",
+    "regression/fact/arithmetic/run.rls",
+    "regression/parsing/variable-names/run.rls",
+    "regression/builtin/float-nan-inf/run.rls",
+    "regression/symmetric_transitive_closure/run.rls",
+    "regression/filter_derived/run.rls",
+    "regression/analysis/equality-chain/run.rls",
+    "regression/planning_engine/constants_negation/run.rls",
+    "regression/planning_engine/arithmetic_chain/run.rls",
+    "regression/planning_engine/join_by_eq_constraint/string.rls",
+    "regression/planning_engine/join_by_eq_constraint/integer.rls",
+    "regression/planning_engine/repeated_variables/run.rls",
+    "regression/planning_engine/independent_head/run.rls",
+    "regression/planning_engine/constants_filter/run.rls",
+    "regression/stratification/binary_negated.rls",
+    "regression/stratification/unary_negated.rls",
+    "regression/prefixes/base_import/run.rls",
+    "regression/load/sign/run.rls",
+    "regression/load/issue-761-multi-arity/run.rls",
+    "regression/load/multiple/run.rls",
+    "regression/load/empty/run.rls",
+    "regression/load/issue-765-fact-and-import/run.rls",
+    "regression/restricted_chase/simple.rls",
+    "regression/restricted_chase/block.rls",
+    "regression/restricted_chase/block2.rls",
+    "regression/restricted_chase/block3.rls",
+    "regression/restricted_chase/doctors.rls",
+    "regression/restricted_chase/multihead.rls",
+    "regression/restricted_chase/multinulls.rls",
+    "regression/restricted_chase/multipieces.rls",
+    "regression/restricted_chase/only_nulls.rls",
+    "regression/restricted_chase/datalog_head.rls",
+    "regression/restricted_chase/head_constant.rls",
+    "regression/restricted_chase/complex_head.rls",
+    "regression/restricted_chase/optimization.rls",
+    "regression/restricted_chase/recursive/run.rls",
+    "data-formats/dsv/join-import.rls",
+    "data-formats/dsv/join-output.rls",
+    "data-formats/dsv/headers.rls",
+    "data-formats/dsv/missing-column.rls",
+    "data-formats/dsv/quoting.rls",
+    "data-formats/dsv/compressed.rls",
+    "data-formats/dsv/format-constant-tuples.rls",
+    "data-formats/dsv/bare-names-with-percent.rls",
+    "data-formats/dsv/computed-names.rls",
+    "regression/datatypes/normalization/run.rls",
+    "regression/datatypes/mixed/numeric.rls",
+    "regression/datatypes/mixed/projection.rls",
+    "program_analysis/run.rls",
+    "data-formats/rdf/ntriples-example2.rls",
+    "data-formats/rdf/ntriples-example3.rls",
+    "data-formats/rdf/nquads-example2.rls",
+]
+
+
+def _golden_dir(rls_rel: str) -> str:
+    return os.path.join(TESTCASES, rls_rel[:-4])
+
+
+def _read_golden(path: str, sep: str = ",") -> list[tuple]:
+    rows = []
+    with open(path, newline="") as f:
+        for rec in csv.reader(f, delimiter=sep):
+            if rec:
+                rows.append(tuple(rec))
+    return rows
+
+
+def _wildcard_rows(rows: list[tuple]) -> tuple[list[tuple], int]:
+    nulls = set()
+    out = []
+    for r in rows:
+        rr = []
+        for c in r:
+            if c is not None and NULL_RE.match(c):
+                nulls.add(c)
+                rr.append("__NULL__")
+            else:
+                rr.append(c)
+        out.append(tuple(rr))
+    return sorted(out), len(nulls)
+
+
+_EXT_SEP = {".csv": ",", ".tsv": "\t"}
+
+
+@pytest.mark.parametrize("rls_rel", CASES)
+def test_blackbox(spark, rls_rel):
+    from nemo_spark.parser import run_rls
+
+    rls_path = os.path.join(TESTCASES, rls_rel)
+    runner = run_rls(spark, rls_path)
+    golden = _golden_dir(rls_rel)
+    files = sorted(os.listdir(golden))
+    assert files, f"no golden files in {golden}"
+    exports = runner.export_frames()
+    for fname in files:
+        if fname not in exports:
+            raise AssertionError(f"{rls_rel}: golden {fname} has no matching @export "
+                                 f"(exports: {sorted(exports)})")
+        df, exp = exports[fname]
+        ext = os.path.splitext(fname)[1]
+        sep = _EXT_SEP.get(ext)
+        if sep is None:
+            d = runner._option_value(exp, "delimiter")
+            sep = d.lexical() if d is not None else ","
+        got_rows = [tuple(r) for r in runner.serialized(exp.pred).collect()]
+        want_rows = _read_golden(os.path.join(golden, fname), sep)
+        got, got_nulls = _wildcard_rows(got_rows)
+        want, want_nulls = _wildcard_rows(want_rows)
+        assert got == want, (
+            f"{rls_rel}:{fname}\n  missing: {sorted(set(want) - set(got))[:5]}"
+            f"\n  extra:   {sorted(set(got) - set(want))[:5]}"
+            f"\n  ({len(got)} got vs {len(want)} want)"
+        )
+        assert got_nulls == want_nulls, f"{rls_rel}:{fname} distinct nulls {got_nulls} vs {want_nulls}"
