@@ -88,6 +88,8 @@ class SemiNaiveEngine:
         max_rounds: int = 10_000,
         trace: bool = False,
         chase: str = "restricted",  # 'restricted' (nemo default) | 'skolem'
+        bucket_history: int = 0,  # >0: bucketed-table history (see _merge)
+        local_stratum_threshold: int = 0,  # >0: size-adaptive local fixpoint
     ) -> None:
         self.spark = spark
         self.broadcast_threshold = broadcast_threshold
@@ -95,6 +97,23 @@ class SemiNaiveEngine:
         self.checkpoint_store = checkpoint_store
         self.max_rounds = max_rounds
         self.trace = trace
+        # bucket_history > 0: each predicate's accumulated table is persisted
+        # as a bucketed managed table (bucketBy on all fact columns). The
+        # dedup-vs-history anti-join then reads the history CO-PARTITIONED —
+        # only the (small) delta side shuffles each round, instead of
+        # re-exchanging the entire accumulated history every round (the
+        # first thing to melt at 100x scale; SURVEY §7 "bucket/partition
+        # all_facts by join key"). At cluster scale the same layout comes
+        # from Iceberg bucket partition specs.
+        self.bucket_history = bucket_history
+        self._history_tables: dict[str, str] = {}
+        # local_stratum_threshold > 0: strata whose every input table is below
+        # the threshold evaluate in ONE in-memory pass (engine/local_fixpoint)
+        # instead of one Spark barrier per semi-naive round — the fix for
+        # deep sequential recursion (LCS-class programs advance one chain
+        # element per round; barriers dominate, not data). Same size-adaptive
+        # strategy as the small-graph fast paths; outputs identical.
+        self.local_stratum_threshold = local_stratum_threshold
         if chase not in ("restricted", "skolem"):
             raise ValueError(f"unknown chase variant: {chase}")
         self.chase = chase
@@ -352,6 +371,9 @@ class SemiNaiveEngine:
     ) -> None:
         idb = {h.pred for r in rules for h in r.heads()}
 
+        if seed_delta is None and self._try_local_stratum(stratum_idx, rules):
+            return
+
         if seed_delta is not None:
             # incremental continuation: skip round 0, start from given deltas
             delta = {p: d for p, d in seed_delta[0].items()}
@@ -474,6 +496,58 @@ class SemiNaiveEngine:
                 for p in idb:
                     if p in self._tables:
                         self._tables[p] = self._checkpoint(p, self._tables[p], round_idx)
+
+    def _try_local_stratum(self, stratum_idx: int, rules: list[Rule]) -> bool:
+        """Size-adaptive local fixpoint (see local_stratum_threshold)."""
+        if not self.local_stratum_threshold:
+            return False
+        from nemo_spark.engine.local_fixpoint import LocalFixpoint, stratum_is_local_eligible
+
+        if not stratum_is_local_eligible(rules):
+            return False
+        preds = {a.pred for r in rules for a in r.body + r.negated} | {
+            h.pred for r in rules for h in r.heads()
+        }
+        total = sum(self._table_counts.get(p, 0) for p in preds)
+        if total > self.local_stratum_threshold:
+            return False
+        from pyspark.sql import Row
+
+        t0 = time.time()
+        tables: dict[str, set] = {}
+        typed = False
+        for p in preds:
+            if p not in self._tables:
+                continue
+            rows = set()
+            for r in self._tables[p].collect():
+                rows.add(tuple(tuple(c) if isinstance(c, Row) else c for c in r))
+            tables[p] = rows
+            typed = typed or _is_value_struct_df(self._tables[p])
+        lf = LocalFixpoint(tables, {p: self._arity[p] for p in preds if p in self._arity}, self.chase, typed)
+        derived = lf.run(rules)
+        for pred, rows in derived.items():
+            if not rows:
+                continue
+            schema = self._schemas.get(pred)
+            if schema is None:
+                if typed:
+                    from nemo_spark.model.values import VALUE_SCHEMA
+
+                    schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(self._arity[pred]))
+                else:
+                    schema = None  # infer
+            df = (
+                self.spark.createDataFrame(list(rows), schema)
+                if schema is not None
+                else self.spark.createDataFrame(list(rows), _cols(self._arity[pred]))
+            )
+            fresh, cnt = self._merge(pred, df)
+            self._record(stratum_idx, 0, "local_fixpoint", cnt, time.time() - t0)
+            t0 = time.time()
+            if cnt and self.trace:
+                self._provenance.append((pred, "local_fixpoint", stratum_idx, 0, fresh))
+        return True
 
     # ------------------------------------------------------------- rule eval
 
@@ -786,6 +860,8 @@ class SemiNaiveEngine:
         # every round — without this, round t's plan embeds round t-1's join
         # trees recursively and analysis cost grows exponentially. Lazy
         # checkpoint + count = ONE materializing job per merge.
+        if self.bucket_history:
+            return self._merge_bucketed(pred, derived)
         if pred in self._tables:
             existing = self._tables[pred]
             # null-safe per-column condition: a plain `on=columns` anti-join
@@ -810,6 +886,48 @@ class SemiNaiveEngine:
             if cnt:
                 self._tables[pred] = fresh
                 self._table_counts[pred] = cnt
+        return fresh, cnt
+
+    def history_table_name(self, pred: str) -> str | None:
+        return self._history_tables.get(pred)
+
+    def _merge_bucketed(self, pred: str, derived: DataFrame) -> tuple[DataFrame, int]:
+        """Dedup-vs-history with a bucketed managed table as the history.
+
+        The history side of the anti-join is scanned in its bucket layout
+        (no Exchange above it in the physical plan — asserted by tests);
+        fresh rows append to the table, preserving the bucket spec. The
+        delta side is the only thing shuffled per round."""
+        import re as _re
+
+        cols = list(derived.columns)
+        tbl = self._history_tables.get(pred)
+        if tbl is None:
+            tbl = f"nemo_hist_{id(self) % 10**8}_{_re.sub('[^A-Za-z0-9_]', '_', pred)}"
+            fresh = derived.dropDuplicates().localCheckpoint(eager=False)
+            cnt = fresh.count()
+            self._schemas.setdefault(pred, fresh.schema)
+            if cnt:
+                fresh.write.bucketBy(self.bucket_history, cols[0], *cols[1:]).mode(
+                    "overwrite"
+                ).format("parquet").saveAsTable(tbl)
+                self._history_tables[pred] = tbl
+                self._tables[pred] = self.spark.table(tbl)
+                self._table_counts[pred] = cnt
+            return fresh, cnt
+        existing = self.spark.table(tbl)
+        fresh = (
+            derived.dropDuplicates()
+            .join(existing, on=cols, how="left_anti")
+            .localCheckpoint(eager=False)
+        )
+        cnt = fresh.count()
+        if cnt:
+            fresh.write.bucketBy(self.bucket_history, cols[0], *cols[1:]).mode(
+                "append"
+            ).format("parquet").saveAsTable(tbl)
+            self._tables[pred] = self.spark.table(tbl)
+            self._table_counts[pred] = self._table_counts.get(pred, 0) + cnt
         return fresh, cnt
 
     def _checkpoint(self, pred: str, df: DataFrame, round_idx: int) -> DataFrame:

@@ -74,6 +74,9 @@ class CompiledProgram:
     base: str | None
     # inline facts as typed Value rows per resolved predicate
     fact_rows: dict = field(default_factory=dict)
+    # nullary (0-arity) predicates, physically stored with one unit column
+    # (reference: tabular/operations/zero.rs) — strip the column on export
+    nullary: set = field(default_factory=set)
 
 
 class CompileError(ValueError):
@@ -513,7 +516,31 @@ class ExprCompiler:
 # ------------------------------------------------------------- rule builder
 
 
+UNIT = Value.boolean(True)  # physical filler for 0-arity predicates
+
+
+def _rewrite_nullary(ast: ProgramAST) -> set:
+    """Nullary atoms ``p()`` become unary ``p(<unit>)`` (zero.rs parity:
+    0-arity tables are propositional truth — 1 row or 0 rows)."""
+    from nemo_spark.parser.rls import TName
+
+    nullary: set = set()
+
+    def fix(atom: AtomAST) -> AtomAST:
+        if len(atom.terms) == 0:
+            nullary.add(atom.pred)
+            return AtomAST(atom.pred, (TName("true"),))
+        return atom
+
+    ast.facts = [fix(f) for f in ast.facts]
+    for r in ast.rules:
+        r.heads = [fix(h) for h in r.heads]
+        r.body = [(k, fix(i) if k in ("atom", "neg") else i) for k, i in r.body]
+    return nullary
+
+
 def compile_program(ast: ProgramAST) -> CompiledProgram:
+    nullary_raw = _rewrite_nullary(ast)
     resolver = Resolver(ast.prefixes, ast.base)
     params: dict[str, Value] = {}
     ground = GroundEval(resolver, params)
@@ -553,6 +580,7 @@ def compile_program(ast: ProgramAST) -> CompiledProgram:
         prefixes=resolver.prefixes,
         base=ast.base,
         fact_rows=fact_rows,
+        nullary={resolver.pred(p) for p in nullary_raw},
     )
 
 

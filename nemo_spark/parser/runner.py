@@ -46,6 +46,7 @@ class RlsRunner:
         source: str | None = None,
         workdir: str | None = None,
         chase: str = "restricted",
+        local_stratum_threshold: int = 0,
     ) -> None:
         self.spark = spark
         if source is None:
@@ -55,7 +56,9 @@ class RlsRunner:
         self.workdir = workdir or "."
         self.ast = parse_rls(source)
         self.compiled: CompiledProgram = compile_program(self.ast)
-        self.engine = SemiNaiveEngine(spark, chase=chase)
+        self.engine = SemiNaiveEngine(
+            spark, chase=chase, local_stratum_threshold=local_stratum_threshold
+        )
         self._ran = False
         # Typed-value expressions (casts, canonical serialization) exceed the
         # JVM's 64KB generated-method limit; janino then spends seconds per
@@ -214,6 +217,11 @@ class RlsRunner:
         formatter exceeds the JVM's 64KB codegen method limit when repeated
         per column, and export is a one-shot boundary operation anyway."""
         df = self.table(pred)
+        if pred in self.compiled.nullary:
+            # 0-arity predicate: serialize as a single empty-string column
+            # per truth row (the unit filler column is an implementation
+            # detail, zero.rs parity)
+            return df.limit(1).select(F.lit("").alias("c0"))
         return df.mapInPandas(_serialize_batches(df.columns), schema=", ".join(f"{c} string" for c in df.columns))
 
     def write_exports(self, out_dir: str) -> None:

@@ -158,3 +158,87 @@ def test_aggregate_stratification(spark):
     eng.run(prog)
     for p in ["r1", "r2", "r3"]:
         assert_golden(eng.table(p), f"aggregate/stratification/{p}.csv")
+
+
+def test_bucketed_history_no_exchange_on_history_side(spark):
+    """bucket_history mode: the dedup-vs-history anti-join reads the
+    accumulated table co-partitioned — no Exchange above the history scan
+    in round t>1 — and the fixpoint output is unchanged."""
+    from pyspark.sql import functions as F
+
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("reach", X, Y), body=[Atom("edge", X, Y)]),
+            Rule(head=Atom("reach", X, Z), body=[Atom("reach", X, Y), Atom("edge", Y, Z)]),
+        ]
+    )
+    edges = [(i, i + 1) for i in range(8)]
+    eng = SemiNaiveEngine(spark, bucket_history=4)
+    eng.register("edge", spark.createDataFrame(edges, "a long, b long"))
+    eng.run(prog)
+    want = {(a, b) for a in range(9) for b in range(a + 1, 9)}
+    got = {(r.c0, r.c1) for r in eng.table("reach").collect()}
+    assert got == want
+
+    # plan assertion: replicate the round-t merge join; the bucketed history
+    # scan must not be re-exchanged (only the delta side shuffles)
+    tbl = eng.history_table_name("reach")
+    assert tbl is not None
+    history = spark.table(tbl)
+    delta = spark.createDataFrame([(100, 101)], "c0 long, c1 long")
+    # testcase-sized history broadcasts (right choice when small); force the
+    # at-scale shape (sort-merge) to show the bucketed layout is picked up
+    plan = (
+        delta.join(history.hint("merge"), on=["c0", "c1"], how="left_anti")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly the delta-side exchange; none above the FileScan of the table
+    import re
+
+    scan_part = plan.split("FileScan")[-1]
+    assert "Exchange" not in scan_part, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_local_fixpoint_equals_distributed(spark):
+    """The size-adaptive local fixpoint must produce exactly the distributed
+    engine's output (joins, negation, aggregate, existential under restricted
+    chase) — nulls compared up to renaming."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, EVar, Program, Rule, Var, agg
+
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    V = EVar("v")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("reach", X, Y), body=[Atom("edge", X, Y)]),
+            Rule(head=Atom("reach", X, Z), body=[Atom("reach", X, Y), Atom("edge", Y, Z)]),
+            Rule(head=Atom("nosink", X), body=[Atom("edge", X, Y)], negated=[Atom("edge", Y, X)]),
+            Rule(head=Atom("succ", X, V), body=[Atom("edge", X, Y)]),
+        ]
+    )
+    agg_prog = Program(rules=[Rule(head=Atom("outdeg", X, agg.count(Y)), body=[Atom("edge", X, Y)])])
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 6)]
+    NR = re.compile(r"^_:\S+$")
+
+    def run(threshold):
+        eng = SemiNaiveEngine(spark, local_stratum_threshold=threshold)
+        eng.register("edge", spark.createDataFrame(edges, "a long, b long"))
+        eng.run(prog)
+        eng.run(agg_prog)
+        out = {}
+        for p in ("reach", "nosink", "succ", "outdeg"):
+            rows = [tuple("*" if isinstance(c, str) and NR.match(c) else c for c in r)
+                    for r in eng.table(p).collect()]
+            out[p] = sorted(rows)
+        return out
+
+    assert run(0) == run(1_000_000)

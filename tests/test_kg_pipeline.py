@@ -160,3 +160,21 @@ def test_pipeline_resume(spark, tmp_path):
     lin = store.lineage()
     assert lin.filter(F.col("name") == "triples_raw").count() > 0
     assert {r.name for r in lin.select("name").distinct().collect()} >= {"triples_raw", "canonical_map", "triples"}
+
+
+def test_star_cc_matches_hashmin_on_long_chain(spark):
+    """large-star/small-star CC: O(log n) rounds on a high-diameter graph,
+    same output as hash-min. A 2000-node chain would need ~2000 hash-min
+    rounds; star converges in a handful."""
+    import logging
+    from nemo_spark.kg.canonicalize import connected_components
+
+    n = 2000
+    rows = [(i, i + 1) for i in range(n - 1)] + [(5000 + i, 6000 + i) for i in range(5)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    out = connected_components(edges, method="star", max_rounds=25)
+    got = {(r.node, r.component) for r in out.collect()}
+    want = {(i, 0) for i in range(n)} | {(5000 + i, 5000 + i) for i in range(5)} | {
+        (6000 + i, 5000 + i) for i in range(5)
+    }
+    assert got == want

@@ -165,3 +165,22 @@ def test_blackbox(spark, rls_rel):
             f"\n  ({len(got)} got vs {len(want)} want)"
         )
         assert got_nulls == want_nulls, f"{rls_rel}:{fname} distinct nulls {got_nulls} vs {want_nulls}"
+
+
+def test_nullary_predicates(spark):
+    """0-arity predicates (zero.rs): propositional truth, usable in bodies,
+    heads, and negation."""
+    from nemo_spark.parser import RlsRunner
+
+    src = """
+    flag() :- data(1) .
+    data(1). data(2).
+    yes(?x) :- data(?x), flag() .
+    no(?x) :- data(?x), ~off() .
+    off() :- data(3) .
+    """
+    r = RlsRunner(spark, source=src, workdir="/tmp").run()
+    assert sorted(t[0] for t in r.serialized("yes").collect()) == ["1", "2"]
+    assert sorted(t[0] for t in r.serialized("no").collect()) == ["1", "2"]
+    assert [tuple(t) for t in r.serialized("flag").collect()] == [("",)]
+    assert r.serialized("off").count() == 0
