@@ -77,6 +77,8 @@ class CompiledProgram:
     # nullary (0-arity) predicates, physically stored with one unit column
     # (reference: tabular/operations/zero.rs) — strip the column on export
     nullary: set = field(default_factory=set)
+    # evaluated @parameter values (import options may reference them)
+    params: dict = field(default_factory=dict)
 
 
 class CompileError(ValueError):
@@ -581,6 +583,7 @@ def compile_program(ast: ProgramAST) -> CompiledProgram:
         base=ast.base,
         fact_rows=fact_rows,
         nullary={resolver.pred(p) for p in nullary_raw},
+        params=params,
     )
 
 

@@ -158,7 +158,7 @@ _TOKEN_RES = [
     ("STRING", r'"(?:[^"\\]|\\.)*"'),
     ("ENCNUM", r"0b[01]+|0o[0-7]+|0x[0-9A-Fa-f]+"),
     ("NUMBER", r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?(?:[fFdD](?![A-Za-z0-9_]))?"),
-    ("PNAME", r"[A-Za-z][A-Za-z0-9_%]*:[A-Za-z][A-Za-z0-9_%\-./#]*"),
+    ("PNAME", r"(?:[A-Za-z][A-Za-z0-9_%]*)?:[A-Za-z][A-Za-z0-9_%\-./#]*"),
     ("NAME", r"[A-Za-z][A-Za-z0-9_%]*"),
     ("VAR", r"\?[A-Za-z][A-Za-z0-9_]*"),
     ("EVAR", r"![A-Za-z][A-Za-z0-9_]*"),
@@ -267,13 +267,17 @@ class Parser:
     def _directive(self, prog: ProgramAST) -> None:
         d = self.next().text[1:].lower()
         if d == "prefix":
-            # @prefix name: <iri> .   (tokenizes as NAME PUNCT: IRIREF or PNAME-ish)
-            name_tok = self.next()
-            name = name_tok.text
-            if name.endswith(":"):
-                name = name[:-1]
+            # @prefix name: <iri> .  (also the empty prefix: "@prefix : <iri>")
+            if self.peek().kind == "PUNCT" and self.peek().text == ":":
+                self.next()
+                name = ""
             else:
-                self.accept("PUNCT", ":")
+                name_tok = self.next()
+                name = name_tok.text
+                if name.endswith(":"):
+                    name = name[:-1]
+                else:
+                    self.accept("PUNCT", ":")
             iri = self.expect("IRIREF").text[1:-1]
             self.expect("PUNCT", ".")
             prog.prefixes[name] = iri

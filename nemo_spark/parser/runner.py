@@ -84,7 +84,7 @@ class RlsRunner:
         from nemo_spark.parser.rls import TCall, TFString, TName
 
         env: dict[str, Value] = {}
-        ge = GroundEval(_ResolverView(self.compiled), {})
+        ge = GroundEval(_ResolverView(self.compiled), self.compiled.params)
         for item in getattr(imp, "body", []):
             kind, e = item if isinstance(item, tuple) else ("expr", item)
             if (

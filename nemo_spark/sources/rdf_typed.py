@@ -45,12 +45,19 @@ def _term_value(tok: str) -> Value:
 
 
 def read_rdf_typed(spark: SparkSession, path: str, fmt: str = "rdf") -> DataFrame:
-    """(subj, pred, obj[, graph]) typed facts from N-Triples / N-Quads."""
+    """Typed RDF facts: (subj, pred, obj) for N-Triples/Turtle/RDF-XML,
+    (graph, subj, pred, obj) for N-Quads/TriG. Format by extension when
+    ``fmt='rdf'`` (reference: nemo/src/io/formats/rdf.rs:67-91 variants)."""
     if fmt == "rdf":
         ext = path.rsplit(".", 1)[-1].lower()
-        fmt = {"nt": "ntriples", "nq": "nquads"}.get(ext, ext)
+        fmt = {
+            "nt": "ntriples", "nq": "nquads", "ttl": "turtle",
+            "trig": "trig", "rdf": "rdfxml", "xml": "rdfxml",
+        }.get(ext, ext)
+    if fmt in ("turtle", "trig", "rdfxml"):
+        return _read_rdf_doc(spark, path, fmt)
     if fmt not in ("ntriples", "nquads"):
-        raise ValueError(f"RDF format {fmt!r} not supported (N-Triples/N-Quads only)")
+        raise ValueError(f"RDF format {fmt!r} not supported")
     quads = fmt == "nquads"
     ncols = 4 if quads else 3
     schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(ncols))
@@ -78,3 +85,268 @@ def read_rdf_typed(spark: SparkSession, path: str, fmt: str = "rdf") -> DataFram
             yield pd.DataFrame({f"c{i}": cols[i] for i in range(ncols)})
 
     return spark.read.text(path).mapInPandas(parse, schema=schema)
+
+
+# ------------------------------------------------- Turtle / TriG / RDF-XML
+#
+# Whole-document formats parse per file inside an Arrow batch (one task per
+# file, parallel across files — the same shape as the JSON reader). The
+# Turtle grammar subset covers the reference's test corpus: prefixes (missing
+# trailing dots tolerated, as the rdf-invalid-prefixes regression requires),
+# statements with ';' / ',' lists, anonymous blank-node property lists
+# ``[ ... ]``, literals with @lang / ^^datatype, bare numeric literals
+# (xsd:integer / decimal / double rules), 'a' => rdf:type, TriG graph blocks.
+
+_TTL_TOKEN = re.compile(
+    r"""(?x)
+    (?P<comment>\#[^\n]*)
+  | (?P<iri><[^>]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<langdt>@[A-Za-z0-9-]+|\^\^)
+  | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<pname>[A-Za-z_][\w.-]*:[\w.:#/-]*|:[\w.:#/-]*|_:[\w-]+)
+  | (?P<kw>@prefix|@base|a\b|true\b|false\b|[A-Za-z_][\w-]*)
+  | (?P<punct>[;,.\[\]{}()])
+  | (?P<ws>\s+)
+    """
+)
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _ttl_tokens(text: str) -> list[str]:
+    out = []
+    i = 0
+    while i < len(text):
+        m = _TTL_TOKEN.match(text, i)
+        if not m:
+            raise ValueError_(f"turtle: cannot tokenize at {text[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        out.append(m.group())
+    return out
+
+
+class _TurtleParser:
+    def __init__(self, toks: list[str], quads: bool) -> None:
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.bnode = 0
+        self.quads = quads
+        self.graph = Value.iri("")  # default graph
+        self.out: list[tuple] = []
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def accept(self, tok):
+        if self.peek() == tok:
+            return self.next()
+        return None
+
+    def parse(self) -> list[tuple]:
+        while self.peek() is not None:
+            t = self.peek()
+            if t == "@prefix":
+                self.next()
+                name = self.next()
+                if name.endswith(":"):
+                    name = name[:-1]
+                iri = self.next()
+                self.prefixes[name.rstrip(":")] = iri[1:-1]
+                self.accept(".")  # tolerate a missing terminating dot
+            elif t == "@base":
+                self.next()
+                self.base = self.next()[1:-1]
+                self.accept(".")
+            elif self.quads and t == "{":
+                self._graph_block(self.graph)
+            elif self.quads and (t.startswith("<") or (":" in t)) and self._peek_is_block():
+                g = self._term(self.next())
+                self._graph_block(g)
+            else:
+                self._statement()
+        return self.out
+
+    def _peek_is_block(self) -> bool:
+        return self.i + 1 < len(self.toks) and self.toks[self.i + 1] == "{"
+
+    def _graph_block(self, g: Value) -> None:
+        old = self.graph
+        self.graph = g
+        assert self.next() == "{"
+        while self.peek() != "}":
+            self._statement()
+        self.next()
+        self.graph = old
+
+    def _statement(self) -> None:
+        subj = self._subject()
+        self._predicate_object_list(subj)
+        self.accept(".")
+
+    def _predicate_object_list(self, subj: Value) -> None:
+        while True:
+            pred = self._predicate()
+            while True:
+                obj = self._object()
+                self._emit(subj, pred, obj)
+                if not self.accept(","):
+                    break
+            if not self.accept(";"):
+                return
+            if self.peek() in (".", "]", None):  # trailing ';'
+                return
+
+    def _emit(self, s: Value, p: Value, o: Value) -> None:
+        if self.quads:
+            self.out.append((self.graph, s, p, o))
+        else:
+            self.out.append((s, p, o))
+
+    def _subject(self) -> Value:
+        t = self.next()
+        if t == "[":
+            return self._bnode_props()
+        return self._term(t)
+
+    def _predicate(self) -> Value:
+        t = self.next()
+        if t == "a":
+            return Value.iri(_RDF_TYPE)
+        return self._term(t)
+
+    def _object(self) -> Value:
+        t = self.next()
+        if t == "[":
+            return self._bnode_props()
+        if t.startswith('"'):
+            lex = unescape_string(t[1:-1])
+            nxt = self.peek()
+            if nxt and nxt.startswith("@") and nxt not in ("@prefix", "@base"):
+                return Value.lang_string(lex, self.next()[1:])
+            if nxt == "^^":
+                self.next()
+                dt = self._term(self.next())
+                return from_typed_literal(lex, dt.s)
+            return Value.string(lex)
+        return self._term(t)
+
+    def _bnode_props(self) -> Value:
+        self.bnode += 1
+        node = Value.null(f"b{self.bnode}")
+        if self.peek() != "]":
+            self._predicate_object_list_for(node)
+        assert self.next() == "]"
+        return node
+
+    def _predicate_object_list_for(self, subj: Value) -> None:
+        while True:
+            pred = self._predicate()
+            while True:
+                obj = self._object()
+                self._emit(subj, pred, obj)
+                if not self.accept(","):
+                    break
+            if not self.accept(";"):
+                return
+            if self.peek() in ("]", ".", None):
+                return
+
+    def _term(self, t: str) -> Value:
+        if t.startswith("<"):
+            return Value.iri(t[1:-1])
+        if t.startswith("_:"):
+            return Value.null(t[2:])
+        if t.startswith('"'):
+            return Value.string(unescape_string(t[1:-1]))
+        if t in ("true", "false"):
+            return Value.boolean(t == "true")
+        if re.match(r"^[+-]?\d", t):
+            from nemo_spark.model.values import XSD, from_decimal_literal
+
+            if "e" in t.lower():
+                return from_typed_literal(t, XSD + "double")
+            return from_decimal_literal(t)
+        if ":" in t:
+            p, _, local = t.partition(":")
+            if p not in self.prefixes:
+                raise ValueError_(f"turtle: unknown prefix {p!r}")
+            return Value.iri(self.prefixes[p] + local)
+        raise ValueError_(f"turtle: unexpected term {t!r}")
+
+
+def _rdfxml_triples(text: str) -> list[tuple]:
+    """Minimal RDF/XML subset (reference corpus shapes): rdf:Description with
+    rdf:about / attribute properties / nested descriptions / rdf:resource."""
+    import xml.etree.ElementTree as ET
+
+    RDF_NS = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+    root = ET.fromstring(text)
+    out: list[tuple] = []
+    bnode = [0]
+
+    def expand(tag: str) -> str:
+        return tag[1:].replace("}", "", 1) if tag.startswith("{") else tag
+
+    def node_value(el) -> Value:
+        about = el.get(RDF_NS + "about")
+        if about is not None:
+            v = Value.iri(about)
+        else:
+            bnode[0] += 1
+            v = Value.null(f"x{bnode[0]}")
+        # attribute properties (skip rdf: attrs)
+        for k, val in el.attrib.items():
+            if k.startswith(RDF_NS):
+                continue
+            out.append((v, Value.iri(expand(k)), Value.string(val)))
+        # property elements
+        for prop in el:
+            p = Value.iri(expand(prop.tag))
+            res = prop.get(RDF_NS + "resource")
+            if res is not None:
+                out.append((v, p, Value.iri(res)))
+                continue
+            desc = list(prop)
+            if desc:
+                child = node_value(desc[0])
+                out.append((v, p, child))
+            elif prop.text is not None:
+                out.append((v, p, Value.string(prop.text)))
+        return v
+
+    for el in root:
+        node_value(el)
+    return out
+
+
+def _read_rdf_doc(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    quads = fmt == "trig"
+    ncols = 4 if quads else 3
+    schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(ncols))
+
+    def parse(batches):
+        for pdf in batches:
+            cols: list[list] = [[] for _ in range(ncols)]
+            for text in pdf["value"]:
+                if not text or not text.strip():
+                    continue
+                if fmt == "rdfxml":
+                    rows = _rdfxml_triples(text)
+                else:
+                    rows = _TurtleParser(_ttl_tokens(text), quads).parse()
+                for row in rows:
+                    for c, v in zip(cols, row):
+                        c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})
+            yield pd.DataFrame({f"c{i}": cols[i] for i in range(ncols)})
+
+    return spark.read.text(path, wholetext=True).mapInPandas(parse, schema=schema)

@@ -98,9 +98,15 @@ CASES = [
     "regression/datatypes/mixed/numeric.rls",
     "regression/datatypes/mixed/projection.rls",
     "program_analysis/run.rls",
+    "data-formats/json/authors.rls",
     "data-formats/rdf/ntriples-example2.rls",
     "data-formats/rdf/ntriples-example3.rls",
     "data-formats/rdf/nquads-example2.rls",
+    "data-formats/rdf/turtle-example2.rls",
+    "data-formats/rdf/trig-example2.rls",
+    "data-formats/rdf/rdfxml-example7.rls",
+    "regression/load/rdf-invalid-prefixes/run.rls",
+    "regression/load/global-variable-in-import/run.rls",
 ]
 
 
