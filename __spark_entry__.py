@@ -462,6 +462,54 @@ def q_rls_datatypes(spark: SparkSession, sf: str) -> DataFrame:
     return r.serialized("out")
 
 
+def q_sparql_import(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL endpoint import (nemo/src/io/formats/sparql.rs): serve the
+    nation table from an in-process SPARQL-protocol endpoint as result-TSV,
+    import it with read_sparql_typed (GET + Accept: text/tab-separated-values,
+    typed 'anything' cell decode), and emit the lexical columns. The HTTP
+    exchange happens at import-build time on the driver; parsing is
+    distributed over the usual Arrow-batched cell decoder."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    rows = (
+        spark.read.parquet(f"{sf}/nation.parquet")
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    body = "\n".join(
+        ["?s\t?name"]
+        + [f'<http://ex/nation/{r.n_nationkey}>\t"{r.n_name}"' for r in rows]
+    ).encode()
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/tab-separated-values")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from nemo_spark.sources.sparql import read_sparql_typed
+
+        df = read_sparql_typed(
+            spark,
+            f"http://127.0.0.1:{srv.server_address[1]}/sparql",
+            query="SELECT ?s ?name WHERE { ?s <http://ex/name> ?name }",
+        )
+    finally:
+        srv.shutdown()
+    return df.select(
+        F.col("c0.s").alias("nation_iri"), F.col("c1.s").alias("n_name")
+    )
+
+
 def _rls_datatypes_oracle_sql() -> str:
     from nemo_spark.model.values import XSD, Value, from_typed_literal
 
@@ -536,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_datalog": q_rls_datalog,
         "rls_aggregate": q_rls_aggregate,
         "rls_datatypes": q_rls_datatypes,
+        "sparql_import": q_sparql_import,
     }
 
 
@@ -684,6 +733,11 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY x
         """,
         "rls_datatypes": _rls_datatypes_oracle_sql(),
+        "sparql_import": """
+            SELECT concat('http://ex/nation/', CAST(n_nationkey AS VARCHAR)) AS nation_iri,
+                   n_name
+            FROM nation
+        """,
         "kg_link_scored": _KG_LINK_SCORED_SQL,
         "knn_bucketed": _knn_bucketed_sql(),
         "text_fingerprint": """

@@ -61,10 +61,15 @@ class LocalFixpoint:
         self.chase = chase
         self.typed = typed
         self.derived: dict[str, set] = defaultdict(set)  # fresh facts per pred
+        # per-rule derivation records (pred, rule_label, round, fresh rows):
+        # the same shape as the distributed engine's _provenance, so
+        # trace_tree attributes rules identically on both paths
+        self.records: list[tuple[str, str, int, frozenset]] = []
 
     def run(self, rules: list[Rule]) -> dict[str, set]:
         deltas = {p: set(rows) for p, rows in self.tables.items()}
         first = True
+        round_no = 0
         while True:
             new_any = False
             next_deltas: dict[str, set] = defaultdict(set)
@@ -81,7 +86,11 @@ class LocalFixpoint:
                             self.derived[derived_pred] |= fresh
                             next_deltas[derived_pred] |= fresh
                             new_any = True
+                            self.records.append(
+                                (derived_pred, rule.label(ri), round_no, frozenset(fresh))
+                            )
             first = False
+            round_no += 1
             deltas = next_deltas
             if not new_any:
                 return dict(self.derived)

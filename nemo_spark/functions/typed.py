@@ -23,6 +23,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from nemo_spark.model.values import (
+    NEMO_MAP,
+    NEMO_TUPLE,
     RDF_LANGSTRING,
     SEP,
     T_BOOLEAN,
@@ -31,9 +33,11 @@ from nemo_spark.model.values import (
     T_INT,
     T_IRI,
     T_LANG,
+    T_MAP,
     T_NULL,
     T_OTHER,
     T_STRING,
+    T_TUPLE,
     T_ULONG,
     VALUE_SCHEMA,
     XSD,
@@ -566,6 +570,8 @@ def canonical_col(a: Column) -> Column:
             ),
         )
         .when(vt(a) == T_NULL, F.concat(F.lit("_:"), vs(a)))
+        .when(vt(a) == T_TUPLE, F.concat(_quote_str_col(vs(a)), F.lit(f"^^<{NEMO_TUPLE}>")))
+        .when(vt(a) == T_MAP, F.concat(_quote_str_col(vs(a)), F.lit(f"^^<{NEMO_MAP}>")))
         .otherwise(F.concat(_quote_str_col(other_lex), F.lit("^^<"), other_dt, F.lit(">")))
     )
 
@@ -613,6 +619,8 @@ def t_datatype(a: Column) -> Column:
             ).otherwise(F.lit(XSD + "long")),
         )
         .when(vt(a) == T_OTHER, F.substring_index(vs(a), SEP, -1))
+        .when(vt(a) == T_TUPLE, F.lit(NEMO_TUPLE))
+        .when(vt(a) == T_MAP, F.lit(NEMO_MAP))
         .otherwise(F.lit(None).cast("string"))
     )
     return wrap_iri(dt)

@@ -37,8 +37,8 @@ def connected_components(
     checkpoint_every: int = 4,
     checkpoint_store: Any | None = None,
     max_rounds: int = 60,
-    small_graph_threshold: int = 0,
-    method: str = "hashmin",  # 'hashmin' (O(diameter) rounds) | 'star' (O(log n))
+    small_graph_threshold: int = 100_000,
+    method: str = "auto",  # 'auto' | 'hashmin' (O(diameter) rounds) | 'star' (O(log n))
 ) -> DataFrame:
     """Return (node, component) where component = min node id in the CC.
 
@@ -49,12 +49,19 @@ def connected_components(
     edge list is below the threshold (dimension-sized graphs, e.g. an alias
     dictionary), run single-task union-find via ``mapPartitions`` — one Spark
     job instead of O(diameter) shuffle rounds. Output is identical (min node
-    id per component). The iterative hash-min path remains the default and
-    the only option for data-sized graphs.
+    id per component).
+
+    ``method='auto'`` (default) picks the alternating-star algorithm for
+    anything above the small-graph threshold: O(log n) rounds regardless of
+    diameter, so a 100-TB graph with a long-chain component never pays
+    O(diameter) shuffles. ``'hashmin'`` stays available (fewer per-round
+    jobs; fine when the diameter is known-small).
     """
     if small_graph_threshold and edges.count() <= small_graph_threshold:
         return _small_graph_cc(edges, src, dst)
-    if method == "star":
+    if method not in ("auto", "star", "hashmin"):
+        raise ValueError(f"unknown cc method: {method}")
+    if method in ("auto", "star"):
         return _star_cc(edges, src, dst, checkpoint_every, max_rounds)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

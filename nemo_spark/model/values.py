@@ -44,6 +44,8 @@ T_IRI = 13
 T_STRING = 20
 T_LANG = 22
 T_OTHER = 24
+T_TUPLE = 26  # labeled tuple / function term (tuple_datavalue.rs)
+T_MAP = 28  # ordered map (map_datavalue.rs)
 T_BOOLEAN = 30
 T_FLOAT = 50
 T_DOUBLE = 52
@@ -52,6 +54,8 @@ T_ULONG = 110  # u64 values > i64::MAX (nemo ValueDomain::UnsignedLong)
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+NEMO_TUPLE = "nemo:tuple"  # ValueDomain::type_iri (datavalue.rs:117)
+NEMO_MAP = "nemo:map"  # datavalue.rs:119
 
 I64_MIN = -(1 << 63)
 I64_MAX = (1 << 63) - 1
@@ -127,6 +131,36 @@ class Value:
     def other(lexical: str, datatype: str) -> "Value":
         return Value(T_OTHER, s=lexical + SEP + datatype)
 
+    @staticmethod
+    def tuple_of(elements: "list[Value]", label: "Value | None" = None) -> "Value":
+        """Tuple / labeled function term (tuple_datavalue.rs). The payload
+        ``s`` is nemo's lexical form — element CANONICAL strings joined by
+        ',' inside '()', prefixed by the label's canonical form (an IRI) for
+        function terms (tuple_datavalue.rs:43-57); ``i`` holds the length.
+        The lexical form is injective over element values, so struct
+        equality equals nemo tuple equality. (Within-domain ORDER is the
+        lexical string order, not nemo's element-wise value order — see
+        module docstring caveat.)"""
+        lex = ",".join(e.canonical() for e in elements)
+        head = label.canonical() if label is not None else ""
+        return Value(T_TUPLE, i=len(elements), s=head + "(" + lex + ")")
+
+    @staticmethod
+    def map_of(
+        pairs: "list[tuple[Value, Value]]", label: "Value | None" = None
+    ) -> "Value":
+        """Ordered map (map_datavalue.rs): key-sorted (BTreeMap — nemo's
+        cross-domain value order, here the struct order), duplicate keys
+        keep the last value, lexical form 'label?{k=v,...}' over canonical
+        strings."""
+        dedup: dict[tuple, tuple[Value, Value]] = {}
+        for k, v in pairs:
+            dedup[k.as_row()] = (k, v)
+        items = [dedup[r] for r in sorted(dedup.keys())]
+        lex = ",".join(k.canonical() + "=" + v.canonical() for k, v in items)
+        head = label.canonical() if label is not None else ""
+        return Value(T_MAP, i=len(items), s=head + "{" + lex + "}")
+
     # -------------------------------------------------------------- accessors
 
     def lang_pair(self) -> tuple[str, str]:
@@ -170,6 +204,10 @@ class Value:
             return XSD + ("int" if -(1 << 31) <= v < (1 << 31) else "long")
         if self.t == T_OTHER:
             return self.other_pair()[1]
+        if self.t == T_TUPLE:
+            return NEMO_TUPLE
+        if self.t == T_MAP:
+            return NEMO_MAP
         return None  # null
 
     def canonical(self) -> str:
@@ -198,6 +236,9 @@ class Value:
         if self.t == T_OTHER:
             lex, dt = self.other_pair()
             return quote_string(lex) + "^^" + quote_iri(dt)
+        if self.t in (T_TUPLE, T_MAP):
+            # tuple_datavalue.rs:63 / map_datavalue.rs:74
+            return quote_string(self.s) + "^^" + quote_iri(self.datatype_iri())
         raise ValueError_(f"unknown tag {self.t}")
 
     def dsv_any(self) -> str:
@@ -223,7 +264,7 @@ class Value:
             return rust_f64_str(self.d)
         if self.t == T_FLOAT:
             return rust_f32_str(self.d)
-        if self.t in (T_STRING, T_IRI, T_NULL):
+        if self.t in (T_STRING, T_IRI, T_NULL, T_TUPLE, T_MAP):
             return self.s
         if self.t == T_LANG:
             return self.lang_pair()[0]

@@ -33,13 +33,14 @@ def transitive_closure(
     dst: str = "dst",
     broadcast_threshold: int = 2_000_000,
     max_rounds: int = 64,
-    small_graph_threshold: int = 0,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """All (src, dst) pairs reachable via 1+ edges. Columns preserved.
 
-    ``small_graph_threshold`` > 0: dimension-sized edge lists close on a
-    single task (one job) instead of O(log d) distributed rounds — same
-    output; the distributed doubling path stays the default."""
+    ``small_graph_threshold`` > 0 (default 100k edges): dimension-sized edge
+    lists close on a single task (one job) instead of O(log d) distributed
+    rounds — same output; data-sized inputs take the distributed doubling
+    path automatically."""
     if small_graph_threshold and edges.count() <= small_graph_threshold:
         return _small_graph_tc(edges, src, dst)
     tc = (

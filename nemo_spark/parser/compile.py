@@ -47,11 +47,13 @@ from nemo_spark.parser.rls import (
     TEVar,
     TFString,
     TIri,
+    TMap,
     TName,
     TNum,
     TParam,
     TPName,
     TString,
+    TTuple,
     TVar,
     TWildcard,
 )
@@ -286,7 +288,30 @@ class GroundEval:
             if fn is None:
                 raise CompileError(f"ground evaluation of {node.fn} not supported")
             return fn(*[self.eval(a) for a in node.args])
+        if isinstance(node, TTuple):
+            # ground tuple / function term -> TupleDataValue (ground.rs:118-127)
+            return Value.tuple_of(
+                [self.eval(e) for e in node.elems],
+                label=self._label_iri(node.label),
+            )
+        if isinstance(node, TMap):
+            return Value.map_of(
+                [(self.eval(k), self.eval(v)) for k, v in node.pairs],
+                label=self._label_iri(node.label),
+            )
         raise CompileError(f"not a ground term: {node!r}")
+
+    def _label_iri(self, node) -> Value | None:
+        """Tuple/map label tag -> IRI value (nemo Tag -> IriDataValue)."""
+        if node is None:
+            return None
+        if isinstance(node, TIri):
+            return Value.iri(node.iri)
+        if isinstance(node, TPName):
+            return Value.iri(self.resolver.pname(node.prefix, node.local))
+        if isinstance(node, TName):
+            return Value.iri(self.resolver.bare(node.name))
+        raise CompileError(f"invalid tuple/map label: {node!r}")
 
 
 def _num_value(node: TNum) -> Value:
@@ -435,6 +460,16 @@ class ExprCompiler:
             return all(self.is_ground(a) for a in node.args)
         if isinstance(node, TFString):
             return all(isinstance(p, str) or self.is_ground(p) for p in node.parts)
+        if isinstance(node, TTuple):
+            # non-ground structured terms are invalid programs in the
+            # reference (normalization/atom/head.rs:144, body.rs:128)
+            if not all(self.is_ground(e) for e in node.elems):
+                raise CompileError("atom contains non-ground structured terms (tuple)")
+            return True
+        if isinstance(node, TMap):
+            if not all(self.is_ground(k) and self.is_ground(v) for k, v in node.pairs):
+                raise CompileError("atom contains non-ground structured terms (map)")
+            return True
         return True
 
     def variables(self, node) -> set[str]:

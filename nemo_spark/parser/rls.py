@@ -106,6 +106,23 @@ class TFString:
 
 
 @dataclass(frozen=True)
+class TTuple:
+    """Tuple '(a, b)' or labeled function term 'f(a, b)' (parser
+    ast/expression/complex/tuple.rs; label = nemo FunctionTerm tag)."""
+
+    elems: tuple
+    label: object = None  # TName | TPName | TIri | None
+
+
+@dataclass(frozen=True)
+class TMap:
+    """Map '{k = v, ...}', optionally labeled (complex/map.rs)."""
+
+    pairs: tuple  # ((key expr, value expr), ...)
+    label: object = None
+
+
+@dataclass(frozen=True)
 class AtomAST:
     pred: str  # resolved predicate name (prefixed names joined)
     terms: tuple
@@ -477,11 +494,20 @@ class Parser:
         if t.kind == "FSTRING":
             return self._fstring(t.text[2:-1])
         if t.kind == "IRIREF":
-            return TIri(t.text[1:-1])
+            node = TIri(t.text[1:-1])
+            if self.peek().kind == "PUNCT" and self.peek().text == "(":
+                return self._function_term(node)
+            if self.peek().kind == "PUNCT" and self.peek().text == "{":
+                self.next()
+                return self._map_body(node)
+            return node
         if t.kind == "PNAME":
             p, _, l = t.text.partition(":")
             if self.peek().text == "(":
-                return self._call_args(t.text)
+                return self._call_args(t.text, label_node=TPName(p, l))
+            if self.peek().kind == "PUNCT" and self.peek().text == "{":
+                self.next()
+                return self._map_body(TPName(p, l))
             return TPName(p, l)
         if t.kind == "VAR":
             return TVar(t.text[1:])
@@ -503,22 +529,50 @@ class Parser:
             return TAgg(op, tuple(args))
         if t.kind == "NAME":
             if self.peek().text == "(":
-                return self._call_args(t.text)
+                return self._call_args(t.text, label_node=TName(t.text))
+            if self.peek().kind == "PUNCT" and self.peek().text == "{":
+                self.next()
+                return self._map_body(TName(t.text))
             if t.text == "true":
                 return TName("true")
             if t.text == "false":
                 return TName("false")
             return TName(t.text)
         if t.kind == "PUNCT" and t.text == "(":
+            # '()' / '(a, b)' / '(a,)' are tuple terms (complex/tuple.rs);
+            # '(e)' without a comma is a parenthesized expression
+            if self.accept("PUNCT", ")"):
+                return TTuple(())
             inner = self._expr()
+            if self.peek().kind == "PUNCT" and self.peek().text == ",":
+                elems = [inner]
+                while self.accept("PUNCT", ","):
+                    if self.peek().kind == "PUNCT" and self.peek().text == ")":
+                        break  # trailing comma (1-tuples: '(a,)')
+                    elems.append(self._expr())
+                self.expect("PUNCT", ")")
+                return TTuple(tuple(elems))
             self.expect("PUNCT", ")")
             return inner
+        if t.kind == "PUNCT" and t.text == "{":
+            return self._map_body(None)
         raise SyntaxError(f"rls: unexpected token {t.kind} {t.text!r} at offset {t.pos}")
 
-    def _call_args(self, name: str) -> TCall:
+    def _map_body(self, label) -> TMap:
+        """'{k = v, ...}' after the opening brace (complex/map.rs)."""
+        pairs = []
+        while not self.accept("PUNCT", "}"):
+            key = self._addsub()
+            self.expect("OP", "=")
+            val = self._addsub()
+            pairs.append((key, val))
+            if not self.accept("PUNCT", ","):
+                self.expect("PUNCT", "}")
+                break
+        return TMap(tuple(pairs), label)
+
+    def _call_args(self, name: str, label_node=None):
         canon = _BUILTINS_CI.get(name)
-        if canon is None:
-            raise SyntaxError(f"rls: unknown function {name!r}")
         self.expect("PUNCT", "(")
         args = []
         if not self.accept("PUNCT", ")"):
@@ -526,7 +580,24 @@ class Parser:
             while self.accept("PUNCT", ","):
                 args.append(self._expr())
             self.expect("PUNCT", ")")
+        if canon is None:
+            # not a builtin: a labeled function term f(a, b) — a tuple with
+            # the tag as label (rule_model/components/term/function.rs;
+            # ground.rs:118 TupleDataValue with label)
+            if label_node is None:
+                raise SyntaxError(f"rls: unknown function {name!r}")
+            return TTuple(tuple(args), label=label_node)
         return TCall(canon, tuple(args))
+
+    def _function_term(self, label_node) -> TTuple:
+        self.expect("PUNCT", "(")
+        args = []
+        if not self.accept("PUNCT", ")"):
+            args.append(self._expr())
+            while self.accept("PUNCT", ","):
+                args.append(self._expr())
+            self.expect("PUNCT", ")")
+        return TTuple(tuple(args), label=label_node)
 
     def _fstring(self, body: str) -> TFString:
         """f-string: literal text with {expr} slots (fstring.rs)."""

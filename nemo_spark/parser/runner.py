@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +32,35 @@ _EXT = {"csv": "csv", "tsv": "tsv", "dsv": "dsv"}
 _DELIM = {"csv": ",", "tsv": "\t"}
 
 
+@contextmanager
+def _interpreted_expressions(spark: SparkSession):
+    """Scope codegen-off to a parity run (save/restore, never session-wide).
+
+    Typed-value expressions (casts, canonical serialization) exceed the
+    JVM's 64KB generated-method limit; janino then spends seconds per stage
+    FAILING to compile before falling back to interpreted eval. Inside a
+    testcase-sized parity run, skipping the doomed compilation attempts is
+    strictly faster — but it must not leak: any other workload evaluated on
+    the same session afterwards gets its own (codegen-on) settings back."""
+    keys = ("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
+    saved = []
+    for k in keys:
+        try:
+            saved.append(spark.conf.get(k))
+        except Exception:
+            saved.append(None)
+    spark.conf.set(keys[0], "false")
+    spark.conf.set(keys[1], "NO_CODEGEN")
+    try:
+        yield
+    finally:
+        for k, v in zip(keys, saved):
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def sanitize_pred(pred: str) -> str:
     """Export filename sanitization (IRIs become file-safe names, e.g.
     ``https://example.org/result`` -> ``https___example.org_result`` as in
@@ -46,7 +76,7 @@ class RlsRunner:
         source: str | None = None,
         workdir: str | None = None,
         chase: str = "restricted",
-        local_stratum_threshold: int = 0,
+        local_stratum_threshold: int = 100_000,
     ) -> None:
         self.spark = spark
         if source is None:
@@ -60,15 +90,6 @@ class RlsRunner:
             spark, chase=chase, local_stratum_threshold=local_stratum_threshold
         )
         self._ran = False
-        # Typed-value expressions (casts, canonical serialization) exceed the
-        # JVM's 64KB generated-method limit; janino then spends seconds per
-        # stage FAILING to compile before falling back to interpreted eval.
-        # Skip the doomed compilation attempts up front: the parity engine
-        # runs testcase-sized data where interpreted expressions are faster
-        # than failed codegen. (Session-level; harmless for other workloads
-        # on the same session at this data scale.)
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
 
     # ------------------------------------------------------------- imports
 
@@ -167,30 +188,49 @@ class RlsRunner:
             from nemo_spark.sources.json_typed import read_json_typed
 
             return read_json_typed(self.spark, res), 3
+        if imp.fmt == "sparql":
+            from nemo_spark.sources.sparql import QUERY_DEFAULT, read_sparql_typed
+
+            endpoint = self._option_value(imp, "endpoint")
+            if endpoint is None:
+                raise CompileError("sparql import requires endpoint= (sparql.rs:69)")
+            q = self._option_value(imp, "query")
+            fmt_opt = self._option_value(imp, "format")
+            fmts = None
+            if fmt_opt is not None:
+                fmts = [v.lexical() for v in fmt_opt] if isinstance(fmt_opt, tuple) else [fmt_opt.lexical()]
+            df = read_sparql_typed(
+                self.spark,
+                endpoint.lexical(),
+                q.lexical() if q is not None else QUERY_DEFAULT,
+                formats=fmts,
+            )
+            return df, len(df.columns)
         raise CompileError(f"unsupported import format {imp.fmt}")
 
     # ------------------------------------------------------------------ run
 
     def run(self) -> "RlsRunner":
-        arities = dict(self.compiled.program.predicates())
-        for pred, rows in self.compiled.fact_rows.items():
-            arities.setdefault(pred, len(rows[0]) if rows else 1)
+        with _interpreted_expressions(self.spark):
+            arities = dict(self.compiled.program.predicates())
+            for pred, rows in self.compiled.fact_rows.items():
+                arities.setdefault(pred, len(rows[0]) if rows else 1)
 
-        frames: dict[str, DataFrame] = {}
-        for imp in self.compiled.imports:
-            df, n = self._load_import(imp, arities.get(imp.pred))
-            arities.setdefault(imp.pred, n)
-            frames[imp.pred] = frames[imp.pred].unionByName(df) if imp.pred in frames else df
-        for pred, rows in self.compiled.fact_rows.items():
-            df = typed_rows_df(self.spark, rows, arities[pred])
-            frames[pred] = frames[pred].unionByName(df) if pred in frames else df
-        for pred, df in frames.items():
-            self.engine.register(pred, df)
-        # declared-but-empty predicates referenced in rule bodies
-        for pred, n in arities.items():
-            if pred not in frames and pred not in self.compiled.program.idb_predicates():
-                self.engine.register(pred, empty_typed_df(self.spark, n))
-        self.engine.run(self.compiled.program)
+            frames: dict[str, DataFrame] = {}
+            for imp in self.compiled.imports:
+                df, n = self._load_import(imp, arities.get(imp.pred))
+                arities.setdefault(imp.pred, n)
+                frames[imp.pred] = frames[imp.pred].unionByName(df) if imp.pred in frames else df
+            for pred, rows in self.compiled.fact_rows.items():
+                df = typed_rows_df(self.spark, rows, arities[pred])
+                frames[pred] = frames[pred].unionByName(df) if pred in frames else df
+            for pred, df in frames.items():
+                self.engine.register(pred, df)
+            # declared-but-empty predicates referenced in rule bodies
+            for pred, n in arities.items():
+                if pred not in frames and pred not in self.compiled.program.idb_predicates():
+                    self.engine.register(pred, empty_typed_df(self.spark, n))
+            self.engine.run(self.compiled.program)
         self._ran = True
         return self
 
@@ -222,18 +262,27 @@ class RlsRunner:
             # per truth row (the unit filler column is an implementation
             # detail, zero.rs parity)
             return df.limit(1).select(F.lit("").alias("c0"))
-        return df.mapInPandas(_serialize_batches(df.columns), schema=", ".join(f"{c} string" for c in df.columns))
+        ser = df.mapInPandas(
+            _serialize_batches(df.columns),
+            schema=", ".join(f"{c} string" for c in df.columns),
+        )
+        # materialize inside the interpreted-expression scope: EDB predicates
+        # are lazy typed-parse expression trees, and the caller collects
+        # outside any scope (export is a one-shot boundary anyway)
+        with _interpreted_expressions(self.spark):
+            return ser.localCheckpoint(eager=True)
 
     def write_exports(self, out_dir: str) -> None:
         os.makedirs(out_dir, exist_ok=True)
-        for name, (df, exp) in self.export_frames().items():
-            sep = _DELIM.get(exp.fmt) or (
-                self._option_value(exp, "delimiter").lexical()
-                if "delimiter" in exp.options
-                else ","
-            )
-            ser = df.select(*[dsv_any_col(F.col(c)).alias(c) for c in df.columns])
-            ser.write.mode("overwrite").option("sep", sep).csv(os.path.join(out_dir, name))
+        with _interpreted_expressions(self.spark):
+            for name, (df, exp) in self.export_frames().items():
+                sep = _DELIM.get(exp.fmt) or (
+                    self._option_value(exp, "delimiter").lexical()
+                    if "delimiter" in exp.options
+                    else ","
+                )
+                ser = df.select(*[dsv_any_col(F.col(c)).alias(c) for c in df.columns])
+                ser.write.mode("overwrite").option("sep", sep).csv(os.path.join(out_dir, name))
 
 
 def _serialize_batches(cols):

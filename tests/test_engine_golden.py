@@ -142,8 +142,11 @@ def test_aggregate_group_by(spark):
 
 def test_symmetric_transitive_closure(spark):
     # testcases/regression/symmetric_transitive_closure/run.rls — the
-    # recursive fixpoint slice: symmetry + transitivity over city graph
-    eng = SemiNaiveEngine(spark)
+    # recursive fixpoint slice: symmetry + transitivity over city graph.
+    # local_stratum_threshold=0: this test asserts the DISTRIBUTED
+    # semi-naive loop iterates (rounds > 1); the size-adaptive local path
+    # (now the default for dimension-sized strata) does it in one pass
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
     eng.register("city", load_csv_facts(spark, "regression/symmetric_transitive_closure/city.csv", 1))
     eng.register("conn", load_csv_facts(spark, "regression/symmetric_transitive_closure/conn.csv", 2))
     XY = Var("XY")

@@ -177,7 +177,11 @@ def test_bucketed_history_no_exchange_on_history_side(spark):
         ]
     )
     edges = [(i, i + 1) for i in range(8)]
-    eng = SemiNaiveEngine(spark, bucket_history=4)
+    # bucket from the first merge and force the distributed path: this test
+    # exercises the per-round anti-join shape, not the size-adaptive gates
+    eng = SemiNaiveEngine(
+        spark, bucket_history=4, bucket_history_threshold=0, local_stratum_threshold=0
+    )
     eng.register("edge", spark.createDataFrame(edges, "a long, b long"))
     eng.run(prog)
     want = {(a, b) for a in range(9) for b in range(a + 1, 9)}
@@ -202,6 +206,74 @@ def test_bucketed_history_no_exchange_on_history_side(spark):
     scan_part = plan.split("FileScan")[-1]
     assert "Exchange" not in scan_part, plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_bucket_history_auto_migration_default_mode(spark):
+    """DEFAULT engine (bucket count 32, size-adaptive engagement): once a
+    predicate's accumulated history crosses bucket_history_threshold, the
+    in-memory history migrates to the bucketed layout mid-fixpoint, later
+    rounds append, output is unchanged, and the post-migration anti-join's
+    main branch reads the history scan with no Exchange above it."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("reach", X, Y), body=[Atom("edge", X, Y)]),
+            Rule(head=Atom("reach", X, Z), body=[Atom("reach", X, Y), Atom("edge", Y, Z)]),
+        ]
+    )
+    # chain of 8: reach accumulates 36 facts over 8 rounds; threshold 10 is
+    # crossed mid-run, exercising the in-memory -> bucketed migration
+    edges = [(i, i + 1) for i in range(8)]
+    eng = SemiNaiveEngine(spark, bucket_history_threshold=10, local_stratum_threshold=0)
+    eng.register("edge", spark.createDataFrame(edges, "a long, b long"))
+    eng.run(prog)
+    assert eng.history_table_name("reach") is not None, "migration did not engage"
+    want = {(a, b) for a in range(9) for b in range(a + 1, 9)}
+    got = {(r.c0, r.c1) for r in eng.table("reach").collect()}
+    assert got == want
+
+    # the real merge shape: plain-equi main branch (bucketed, no Exchange
+    # above the history scan) + null-safe side branch for NULL-bearing rows
+    from pyspark.sql import functions as F
+
+    history = spark.table(eng.history_table_name("reach"))
+    delta = spark.createDataFrame([(100, 101), (None, 5)], "c0 long, c1 long")
+    null_cond = F.col("c0").isNull() | F.col("c1").isNull()
+    main = delta.filter(~null_cond).join(history.hint("merge"), on=["c0", "c1"], how="left_anti")
+    plan = main._jdf.queryExecution().executedPlan().toString()
+    scan_part = plan.split("FileScan")[-1]
+    assert "Exchange" not in scan_part, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_null_head_vars_dropped(spark):
+    """Invariant the bucketed history's plain equi-join dedup relies on:
+    rows binding a head variable to SQL NULL are dropped at head projection
+    (nemo error-row semantics), so no merged fact table ever contains NULLs
+    and the fixpoint terminates."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X, Y = Var("x"), Var("y")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("copy", X, Y), body=[Atom("src", X, Y)]),
+            Rule(head=Atom("copy", X, Y), body=[Atom("copy", X, Y)]),
+        ]
+    )
+    src = spark.createDataFrame([(1, 2), (None, 3), (4, None)], "a long, b long")
+    eng = SemiNaiveEngine(
+        spark, bucket_history=4, bucket_history_threshold=0, local_stratum_threshold=0,
+        max_rounds=25,
+    )
+    eng.register("src", src)
+    eng.run(prog)
+    got = {(r.c0, r.c1) for r in eng.table("copy").collect()}
+    assert got == {(1, 2)}
+    assert eng.stats.rounds < 25, "fixpoint did not terminate"
 
 
 def test_local_fixpoint_equals_distributed(spark):

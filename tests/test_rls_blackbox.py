@@ -86,6 +86,7 @@ CASES = [
     "regression/restricted_chase/optimization.rls",
     "regression/restricted_chase/recursive/run.rls",
     "data-formats/dsv/join-import.rls",
+    "data-formats/dsv/join-export.rls",
     "data-formats/dsv/join-output.rls",
     "data-formats/dsv/headers.rls",
     "data-formats/dsv/missing-column.rls",

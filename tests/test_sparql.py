@@ -1,0 +1,169 @@
+"""SPARQL endpoint import against a local mock HTTP endpoint.
+
+Covers the reference protocol surface (nemo/src/io/formats/sparql.rs):
+GET under 2000 chars / form-POST above, Accept: text/tab-separated-values,
+TSV decode through the DSV 'anything' cell parser, VALUES binding-pushdown
+paging, and HTTP 413 page-halving — plus an end-to-end ``@import ... sparql``
+program through the RlsRunner."""
+
+from __future__ import annotations
+
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from nemo_spark.model.values import Value
+
+# fixed store, SPARQL-TSV term syntax; header + rows
+_HEADER = "?s\t?p\t?o"
+_ROWS = [
+    "<http://ex/a>\t<http://ex/knows>\t<http://ex/b>",
+    "<http://ex/b>\t<http://ex/knows>\t<http://ex/c>",
+    '<http://ex/a>\t<http://ex/name>\t"alice"',
+    '<http://ex/b>\t<http://ex/age>\t"42"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    '<http://ex/c>\t<http://ex/label>\t"ciao"@it',
+]
+
+
+class _Endpoint(BaseHTTPRequestHandler):
+    """Minimal SPARQL protocol server: returns the store as TSV, filtered by
+    an injected VALUES (?s ...) block when present; optionally 413s queries
+    whose VALUES carry more than ``max_values`` rows."""
+
+    store = _ROWS
+    seen: list[tuple[str, str]] = []  # (method, query)
+    max_values: int | None = None
+
+    def _answer(self, method: str, query: str) -> None:
+        type(self).seen.append((method, query))
+        rows = self.store
+        if "VALUES (?s)" in query:
+            import re
+
+            block = re.search(r"VALUES \(\?s\) \{(.*?)\}", query, re.DOTALL).group(1)
+            wanted = re.findall(r"\(<([^>]*)>\)", block)
+            if self.max_values is not None and len(wanted) > self.max_values:
+                self.send_response(413)
+                self.end_headers()
+                return
+            rows = [r for r in self.store if r.split("\t")[0] in {f"<{w}>" for w in wanted}]
+        body = "\n".join([_HEADER] + rows).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/tab-separated-values")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        q = urllib.parse.parse_qs(urllib.parse.urlsplit(self.path).query)
+        self._answer("GET", q.get("query", [""])[0])
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        form = urllib.parse.parse_qs(self.rfile.read(length).decode())
+        self._answer("POST", form.get("query", [""])[0])
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture()
+def endpoint():
+    _Endpoint.seen = []
+    _Endpoint.max_values = None
+    srv = HTTPServer(("127.0.0.1", 0), _Endpoint)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    srv.shutdown()
+
+
+def _vals(df):
+    return sorted(
+        tuple(Value(c["t"], c["i"], c["d"], c["s"]).canonical() for c in row)
+        for row in df.collect()
+    )
+
+
+def test_sparql_import_get_default_query(spark, endpoint):
+    from nemo_spark.sources.sparql import read_sparql_typed
+
+    df = read_sparql_typed(spark, endpoint)
+    assert len(df.columns) == 3
+    got = _vals(df)
+    assert len(got) == 5
+    # typed decode: IRI, plain string, xsd:integer -> i64, lang string
+    flat = {c for row in got for c in row}
+    assert "<http://ex/a>" in flat
+    assert '"alice"' in flat
+    assert "42" in flat
+    assert '"ciao"@it' in flat
+    assert _Endpoint.seen[0][0] == "GET"
+    assert "SELECT ?s ?p ?o WHERE { ?s ?p ?o }" in _Endpoint.seen[0][1]
+
+
+def test_sparql_import_post_when_long(spark, endpoint):
+    from nemo_spark.sources.sparql import read_sparql_typed
+
+    pad = " ".join(["# padding"] * 400)  # > 2000 chars -> POST (sparql.rs:39)
+    q = f"SELECT ?s ?p ?o WHERE {{ ?s ?p ?o }} {pad}"
+    df = read_sparql_typed(spark, endpoint, query=q)
+    assert df.count() == 5
+    assert _Endpoint.seen[0][0] == "POST"
+
+
+def test_sparql_bindings_pushdown_values(spark, endpoint):
+    from nemo_spark.sources.sparql import read_sparql_typed
+
+    df = read_sparql_typed(
+        spark,
+        endpoint,
+        bindings=(["s"], [(Value.iri("http://ex/a"),), (Value.iri("http://ex/c"),)]),
+    )
+    got = _vals(df)
+    assert len(got) == 3  # only subjects a and c
+    assert all(row[0] in ("<http://ex/a>", "<http://ex/c>") for row in got)
+    assert "VALUES (?s)" in _Endpoint.seen[0][1]
+
+
+def test_sparql_binding_pages(spark, endpoint, monkeypatch):
+    import nemo_spark.sources.sparql as sp
+
+    monkeypatch.setattr(sp, "MAX_BINDINGS_PER_PAGE", 2)
+    bindings = (["s"], [(Value.iri(f"http://ex/{x}"),) for x in "abc"])
+    df = sp.read_sparql_typed(spark, endpoint, bindings=bindings)
+    assert df.count() == 5  # a:2 facts + b:2 + c:1
+    assert len(_Endpoint.seen) == 2  # ceil(3/2) pages
+
+
+def test_sparql_413_halves_page(spark, endpoint):
+    from nemo_spark.sources.sparql import read_sparql_typed
+
+    _Endpoint.max_values = 1  # any page with >1 VALUES rows gets 413
+    bindings = (["s"], [(Value.iri(f"http://ex/{x}"),) for x in "abc"])
+    df = read_sparql_typed(spark, endpoint, bindings=bindings)
+    assert df.count() == 5
+    # at least one 413'd attempt plus the single-row retries
+    assert len(_Endpoint.seen) > 3
+
+
+def test_sparql_rls_program(spark, endpoint, tmp_path):
+    """@import ... sparql end-to-end: import, join in a rule, serialize."""
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = f'''
+@import triple :- sparql{{endpoint="{endpoint}"}} .
+knows(?x, ?y) :- triple(?x, <http://ex/knows>, ?y) .
+reach(?x, ?y) :- knows(?x, ?y) .
+reach(?x, ?z) :- reach(?x, ?y), knows(?y, ?z) .
+@export reach :- csv{{}} .
+'''
+    r = RlsRunner(spark, source=src, workdir=str(tmp_path)).run()
+    got = sorted(tuple(t) for t in r.serialized("reach").collect())
+    assert got == [
+        ("http://ex/a", "http://ex/b"),
+        ("http://ex/a", "http://ex/c"),
+        ("http://ex/b", "http://ex/c"),
+    ]
