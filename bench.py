@@ -109,7 +109,7 @@ def _steal_ticks() -> int:
         return int(f.readline().split()[8])
 
 
-def scaling_leg(cores: int, corpus_dir: str, n_turns: int, trials: int = 3) -> dict:
+def scaling_leg(cores: int, corpus_dir: str, n_turns: int, trials: int | None = None) -> dict:
     """One measurement: read the materialized transcript table, run the full
     pipeline (production feature extractor). Runs in its own process so each
     leg gets a fresh JVM. The host is shared (nonzero hypervisor steal time),
@@ -117,6 +117,11 @@ def scaling_leg(cores: int, corpus_dir: str, n_turns: int, trials: int = 3) -> d
     is kept, with the steal fraction recorded for transparency."""
     from nemo_spark.session import get_spark
 
+    if trials is None:
+        # the shared host has bursty hypervisor steal (observed: identical
+        # back-to-back runs spanning 14s-51s); more trials = better odds of
+        # one clean window per leg. Best trial is kept, steal recorded.
+        trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     _prewarm_page_cache(corpus_dir)
     spark = get_spark(app_name=f"nemo_spark_scaling_{cores}", master=f"local[{cores}]")
     warm = spark.read.parquet(corpus_dir).limit(20_000)
@@ -186,11 +191,13 @@ def bench_scaling(sf_dir: str) -> dict:
             "sec": round(t8, 3),
             "turns_per_sec": round(results[8]["turns_per_sec"], 1),
             "extract_sec": round(e8, 3),
+            "steal_ticks": results[8].get("steal_ticks"),
         },
         "local32": {
             "sec": round(t32, 3),
             "turns_per_sec": round(results[32]["turns_per_sec"], 1),
             "extract_sec": round(e32, 3),
+            "steal_ticks": results[32].get("steal_ticks"),
         },
         "sf": sf,
     }

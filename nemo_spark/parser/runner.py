@@ -160,9 +160,49 @@ class RlsRunner:
             name = sanitize_pred(imp.pred) + "." + _EXT.get(imp.fmt, imp.fmt)
             return os.path.join(self.workdir, name)
         path = r.lexical()
+        if path == "":
+            # empty resource = the stdin pipe (nemo-physical/src/resource.rs:400
+            # ResourceBuilder::try_from "" -> Resource::Pipe;
+            # resource_providers/stdin.rs)
+            return self._stage_stdin()
+        if re.match(r"^https?://", path):
+            # HTTP resource provider (resource_providers/http.rs): one
+            # driver-side GET, staged to a local temp file that Spark then
+            # reads distributed (keeps the extension so .gz decompression
+            # still applies). A remote HTTP file is a single-server source;
+            # staging once is the right cluster behavior too.
+            return self._stage_http(path)
         if re.match(r"^[a-z][a-z0-9+.-]*://", path):
             return path
         return os.path.join(self.workdir, path)
+
+    def _stage_stdin(self) -> str:
+        import sys
+        import tempfile
+
+        if getattr(self, "_stdin_path", None) is None:
+            fd, p = tempfile.mkstemp(prefix="nemo_stdin_", suffix=".dat")
+            with os.fdopen(fd, "w") as f:
+                f.write(sys.stdin.read())
+            self._stdin_path = p
+        return self._stdin_path
+
+    def _stage_http(self, url: str) -> str:
+        import tempfile
+        import urllib.request
+
+        cache = getattr(self, "_http_cache", None)
+        if cache is None:
+            cache = self._http_cache = {}
+        if url not in cache:
+            suffix = os.path.basename(url.split("?", 1)[0])
+            suffix = "_" + re.sub(r"[^A-Za-z0-9_.\-]", "_", suffix)
+            fd, p = tempfile.mkstemp(prefix="nemo_http_", suffix=suffix)
+            req = urllib.request.Request(url)
+            with urllib.request.urlopen(req, timeout=120) as resp, os.fdopen(fd, "wb") as f:
+                f.write(resp.read())
+            cache[url] = p
+        return cache[url]
 
     def _load_import(self, imp, arity_hint: int | None) -> tuple[DataFrame, int]:
         res = self._resource(imp)
