@@ -91,6 +91,7 @@ class SemiNaiveEngine:
         bucket_history: int = 32,  # bucket count when history bucketing engages (0 = never)
         bucket_history_threshold: int = 1_000_000,  # rows before a predicate's history migrates to the bucketed layout (0 = from the first merge)
         local_stratum_threshold: int = 100_000,  # size-adaptive local fixpoint (0 = always distributed)
+        semi_join_reduction: int = 2_000_000,  # rows before a body atom gets semi-join-reduced (0 = never)
     ) -> None:
         self.spark = spark
         self.broadcast_threshold = broadcast_threshold
@@ -123,6 +124,15 @@ class SemiNaiveEngine:
         # element per round; barriers dominate, not data). Same size-adaptive
         # strategy as the small-graph fast paths; outputs identical.
         self.local_stratum_threshold = local_stratum_threshold
+        # semi_join_reduction > 0: before a body atom LARGER than the
+        # threshold enters the n-ary join chain, its frame is semi-joined by
+        # the variable projections of every broadcastable co-occurring atom
+        # (Yannakakis-style reducer — the Spark-shaped answer to the
+        # reference's leapfrog WCOJ, nemo-physical/src/tabular/operations/
+        # join.rs:196). Cyclic bodies (triangles) otherwise build binary-join
+        # intermediates larger than the output; the reducer bounds each
+        # input by the other relations' key sets before any shuffle join.
+        self.semi_join_reduction = semi_join_reduction
         if chase not in ("restricted", "skolem"):
             raise ValueError(f"unknown chase variant: {chase}")
         self.chase = chase
@@ -638,6 +648,14 @@ class SemiNaiveEngine:
             adf = self._bind_atom(src, atom)
             if small:
                 adf = F.broadcast(adf)
+            elif (
+                self.semi_join_reduction
+                and len(rule.body) >= 2
+                and (use_delta_atom is None or i != use_delta_atom)
+                and atom.pred in self._tables
+                and self._table_counts.get(atom.pred, 0) > self.semi_join_reduction
+            ):
+                adf = self._reduce_atom(rule, i, adf, delta, delta_counts, use_delta_atom)
             if bound is None:
                 bound, bound_vars = adf, [v.name for v in _uniq(atom.variables())]
             else:
@@ -752,6 +770,46 @@ class SemiNaiveEngine:
             proj = self._project_head(bound, h)
             out[h.pred] = out[h.pred].unionByName(proj) if h.pred in out else proj
         return out
+
+    def _reduce_atom(
+        self,
+        rule: Rule,
+        i: int,
+        adf: DataFrame,
+        delta: dict[str, DataFrame],
+        delta_counts: dict[str, int],
+        use_delta_atom: int | None,
+    ) -> DataFrame:
+        """Yannakakis-style semi-join reduction of one large body atom (see
+        ``semi_join_reduction`` in ``__init__``): semi-join its frame by the
+        shared-variable projections of every SMALL (broadcastable)
+        co-occurring positive atom, including the delta atom — in the
+        semi-naive variants this is what keeps a huge EDB atom from entering
+        the join unfiltered when the delta is tiny. Semi-joins only remove
+        rows that cannot contribute to the final join, so this is sound for
+        any body shape; for cyclic (triangle-class) queries it is what
+        bounds the binary-join intermediates the reference avoids with its
+        worst-case-optimal leapfrog join."""
+        my_vars = {v.name for v in rule.body[i].variables()}
+        for j, other in enumerate(rule.body):
+            if j == i:
+                continue
+            if use_delta_atom is not None and j == use_delta_atom:
+                osrc = delta[other.pred]
+                ocnt = delta_counts.get(other.pred, self.broadcast_threshold + 1)
+            elif other.pred in self._tables:
+                osrc = self._tables[other.pred]
+                ocnt = self._table_counts.get(other.pred, self.broadcast_threshold + 1)
+            else:
+                continue
+            if ocnt > self.broadcast_threshold:
+                continue  # only cheap (broadcastable) reducers
+            shared = [v.name for v in _uniq(other.variables()) if v.name in my_vars]
+            if not shared:
+                continue
+            keys = self._bind_atom(osrc, other).select(*shared).dropDuplicates()
+            adf = adf.join(F.broadcast(keys), on=shared, how="left_semi")
+        return adf
 
     def _deferred_frame(
         self, atom: Atom, bound: DataFrame | None, bound_vars: list[str]

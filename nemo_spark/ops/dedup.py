@@ -210,9 +210,141 @@ SELECT {id_col}, {" || ".join(nibbles)} AS simhash FROM votes
 
 
 def simhash_dedup_candidates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Candidate pairs with identical SimHash (cheap first pass; at scale,
-    rotate-and-bucket for Hamming distance <= d)."""
+    """Candidate pairs with identical SimHash (cheap first pass; for
+    Hamming distance <= d see :func:`simhash_hamming_candidates`)."""
     s = simhash64(df, id_col, text_col)
     a = s.select(F.col(id_col).alias("a"), "simhash")
     b = s.select(F.col(id_col).alias("b"), "simhash")
     return a.join(b, on="simhash").filter(F.col("a") < F.col("b")).select("a", "b", "simhash")
+
+
+def simhash_hamming_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    k: int = 1,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= ``max_hamming`` —
+    the 100-TB path promised by :func:`simhash_dedup_candidates`.
+
+    Pigeonhole banding: the 64-bit signature splits into ``max_hamming + 1``
+    disjoint bit bands, so any pair within Hamming distance d agrees EXACTLY
+    on at least one band. Candidates come from (band_idx, band_bits)
+    equi-joins — one shuffle on the band key, never an all-pairs compare —
+    and the exact ``bit_count(xor) <= d`` filter removes band-collision
+    false positives. No false negatives by construction (complete recall).
+    Returns (a, b, hamming) with a < b, deduplicated across bands."""
+    nb = max_hamming + 1
+    if nb > 64:
+        raise ValueError("max_hamming must be < 64")
+    s = simhash64(df, id_col, text_col, k)
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1 if widths[i] < 64 else -1))
+                .alias("bv"),
+            )
+            for i in range(nb)
+        ]
+    )
+    ex = s.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
+        F.col(id_col), F.col("simhash"), F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+    a = ex.select(F.col(id_col).alias("a"), F.col("simhash").alias("__sa"), "bi", "bv")
+    b = ex.select(F.col(id_col).alias("b"), F.col("simhash").alias("__sb"), "bi", "bv")
+    return (
+        a.join(b, on=["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _hex_nibble(col: Column, j: int) -> Column:
+    a = F.ascii(F.substring(col, j + 1, 1))
+    return F.when(a <= 57, a - 48).otherwise(a - 87)
+
+
+def simhash_hex_hamming_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-banded near-dup pairs over the md5-derived hex signature
+    (:func:`simhash_hex`) — identical semantics to
+    :func:`simhash_hamming_candidates` but engine-portable, so a DuckDB
+    oracle can replicate it bit-exactly
+    (:func:`simhash_hex_hamming_oracle_sql`). Bands are substrings of the
+    16-nibble hex signature (pigeonhole over nibble groups); the exact
+    per-nibble popcount(xor) filter keeps true <= d pairs."""
+    nb = max_hamming + 1
+    if nb > 16:
+        raise ValueError("max_hamming must be < 16 for the hex variant")
+    s = simhash_hex(df, id_col, text_col)
+    widths = [16 // nb + (1 if i < 16 % nb else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.substring(F.col("simhash"), offsets[i] + 1, widths[i]).alias("bv"),
+            )
+            for i in range(nb)
+        ]
+    )
+    ex = s.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")).select(
+        F.col(id_col), F.col("simhash"), F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+    a = ex.select(F.col(id_col).alias("a"), F.col("simhash").alias("__sa"), "bi", "bv")
+    b = ex.select(F.col(id_col).alias("b"), F.col("simhash").alias("__sb"), "bi", "bv")
+    ham = None
+    for j in range(16):
+        h = F.bit_count(_hex_nibble(F.col("__sa"), j).bitwiseXOR(_hex_nibble(F.col("__sb"), j)))
+        ham = h if ham is None else (ham + h)
+    return (
+        a.join(b, on=["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.cast("int").alias("hamming"))
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_hex_hamming_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB SQL replicating :func:`simhash_hex_hamming_candidates` exactly:
+    same md5-nibble signatures (via :func:`simhash_hex_oracle_sql`), same
+    per-nibble popcount(xor) Hamming distance. The oracle compares all pairs
+    (correctness reference, not the scale plan)."""
+    sig = simhash_hex_oracle_sql(table, id_col, text_col)
+    nib = (
+        "(CASE WHEN ascii(substr({s}, {p}, 1)) <= 57 THEN ascii(substr({s}, {p}, 1)) - 48 "
+        "ELSE ascii(substr({s}, {p}, 1)) - 87 END)"
+    )
+    terms = []
+    for j in range(16):
+        na = nib.format(s="sa.simhash", p=j + 1)
+        nbv = nib.format(s="sb.simhash", p=j + 1)
+        terms.append(f"bit_count(CAST(xor({na}, {nbv}) AS BIGINT))")
+    ham = " + ".join(terms)
+    return f"""
+WITH sigs AS ({sig})
+SELECT sa.{id_col} AS a, sb.{id_col} AS b, CAST(({ham}) AS INTEGER) AS hamming
+FROM sigs sa JOIN sigs sb ON sa.{id_col} < sb.{id_col}
+WHERE ({ham}) <= {max_hamming}
+"""
