@@ -548,6 +548,45 @@ def _rls_datatypes_oracle_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(c0, c1, c2)"
 
 
+_RLS_TUPLES = """
+p(f(1, 2)) .
+p((3, "x")) .
+p(()) .
+p({a = 1, b = 2}) .
+q(?x, DATATYPE(?x)) :- p(?x) .
+sel(?x) :- p(?x), ?x = (3, "x") .
+"""
+
+
+def q_rls_tuples(spark: SparkSession, sf: str) -> DataFrame:
+    """Tuple/Map value domains through the full .rls path (construction in
+    facts, propagation, DATATYPE introspection, equality selection against a
+    tuple constant); serialized in nemo's DSV export form. Oracle rows are
+    generated independently from the driver-side Python value model."""
+    from nemo_spark.parser import RlsRunner
+
+    r = RlsRunner(spark, source=_RLS_TUPLES, workdir="/tmp").run()
+    return r.serialized("q")
+
+
+def _rls_tuples_oracle_sql() -> str:
+    from nemo_spark.model.values import Value
+
+    vals = [
+        Value.tuple_of([Value.int(1), Value.int(2)], label=Value.iri("f")),
+        Value.tuple_of([Value.int(3), Value.string("x")]),
+        Value.tuple_of([]),
+        Value.map_of([(Value.iri("a"), Value.int(1)), (Value.iri("b"), Value.int(2))]),
+    ]
+    rows = [(v.dsv_any(), Value.iri(v.datatype_iri()).dsv_any()) for v in vals]
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    values = ", ".join(f"({q(a)}, {q(b)})" for a, b in rows)
+    return f"SELECT * FROM (VALUES {values}) AS t(c0, c1)"
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -596,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_aggregate": q_rls_aggregate,
         "rls_datatypes": q_rls_datatypes,
         "sparql_import": q_sparql_import,
+        "rls_tuples": q_rls_tuples,
     }
 
 
@@ -745,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY x
         """,
         "rls_datatypes": _rls_datatypes_oracle_sql(),
+        "rls_tuples": _rls_tuples_oracle_sql(),
         "sparql_import": """
             SELECT concat('http://ex/nation/', CAST(n_nationkey AS VARCHAR)) AS nation_iri,
                    n_name
