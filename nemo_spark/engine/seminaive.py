@@ -650,7 +650,9 @@ class SemiNaiveEngine:
                 adf = F.broadcast(adf)
             elif (
                 self.semi_join_reduction
-                and len(rule.body) >= 2
+                # >= 3 atoms: with two, the single (broadcast) join already
+                # streams the big side once — reduction would scan it twice
+                and len(rule.body) >= 3
                 and (use_delta_atom is None or i != use_delta_atom)
                 and atom.pred in self._tables
                 and self._table_counts.get(atom.pred, 0) > self.semi_join_reduction

@@ -355,8 +355,10 @@ def test_semi_join_reduction_triangle(spark):
 
 
 def test_semi_join_reduction_delta_reduces_edb(spark):
-    """In the semi-naive delta variants, a large EDB atom is reduced by the
-    (small) delta atom's keys before the join — recursion results unchanged."""
+    """In the semi-naive delta variants of a 3-atom body, a large EDB atom
+    is reduced by the other atoms' keys before the chain join — recursion
+    results unchanged. (2-atom bodies never reduce: the single broadcast
+    join already streams the big side once.)"""
     from nemo_spark.engine.seminaive import SemiNaiveEngine
     from nemo_spark.model.rules import Atom, Program, Rule, Var
 
@@ -364,10 +366,14 @@ def test_semi_join_reduction_delta_reduces_edb(spark):
     prog = Program(
         rules=[
             Rule(head=Atom("reach", X, Y), body=[Atom("seed", X), Atom("e", X, Y)]),
-            Rule(head=Atom("reach", X, Z), body=[Atom("reach", X, Y), Atom("e", Y, Z)]),
+            Rule(
+                head=Atom("reach", X, Z),
+                body=[Atom("reach", X, Y), Atom("e", Y, Z), Atom("alive", Z)],
+            ),
         ]
     )
     edges = [(i, i + 1) for i in range(50)]
+    alive = [(i,) for i in range(0, 50, 2)]  # only even nodes survive
 
     def run(threshold):
         eng = SemiNaiveEngine(
@@ -375,6 +381,7 @@ def test_semi_join_reduction_delta_reduces_edb(spark):
         )
         eng.register("seed", spark.createDataFrame([(0,), (40,)], "a long"))
         eng.register("e", spark.createDataFrame(edges, "a long, b long"))
+        eng.register("alive", spark.createDataFrame(alive, "a long"))
         eng.run(prog)
         return sorted((r.c0, r.c1) for r in eng.table("reach").collect())
 
