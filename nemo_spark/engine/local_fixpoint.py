@@ -37,6 +37,12 @@ def stratum_is_local_eligible(rules: list[Rule]) -> bool:
     return all(not r.filters and not r.assignments for r in rules)
 
 
+class LocalOverflow(Exception):
+    """The local fixpoint derived more than its budget: small INPUTS do not
+    bound the OUTPUT (a quadratic rule over 100k rows can derive 10^10
+    facts). The engine catches this and re-runs the stratum distributed."""
+
+
 def _term_cell(t):
     """Constant term -> comparable cell (typed Values as their struct tuple)."""
     if isinstance(t, Value):
@@ -55,11 +61,20 @@ def _skolem_cell(label: str, frontier_cells: tuple, typed: bool):
 class LocalFixpoint:
     """In-memory semi-naive evaluation over dict-indexed tuple sets."""
 
-    def __init__(self, tables: dict[str, set], arities: dict[str, int], chase: str, typed: bool) -> None:
+    def __init__(
+        self,
+        tables: dict[str, set],
+        arities: dict[str, int],
+        chase: str,
+        typed: bool,
+        max_derived: int = 5_000_000,
+    ) -> None:
         self.tables = {p: set(rows) for p, rows in tables.items()}
         self.arities = dict(arities)
         self.chase = chase
         self.typed = typed
+        self.max_derived = max_derived  # raise LocalOverflow beyond this
+        self._derived_count = 0
         self.derived: dict[str, set] = defaultdict(set)  # fresh facts per pred
         # per-rule derivation records (pred, rule_label, round, fresh rows):
         # the same shape as the distributed engine's _provenance, so
@@ -89,6 +104,11 @@ class LocalFixpoint:
                             self.records.append(
                                 (derived_pred, rule.label(ri), round_no, frozenset(fresh))
                             )
+                            self._derived_count += len(fresh)
+                            if self._derived_count > self.max_derived:
+                                raise LocalOverflow(
+                                    f"local fixpoint derived > {self.max_derived} facts"
+                                )
             first = False
             round_no += 1
             deltas = next_deltas

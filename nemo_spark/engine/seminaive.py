@@ -568,7 +568,14 @@ class SemiNaiveEngine:
             tables[p] = rows
             typed = typed or _is_value_struct_df(self._tables[p])
         lf = LocalFixpoint(tables, {p: self._arity[p] for p in preds if p in self._arity}, self.chase, typed)
-        derived = lf.run(rules)
+        from nemo_spark.engine.local_fixpoint import LocalOverflow
+
+        try:
+            derived = lf.run(rules)
+        except LocalOverflow:
+            # small inputs, huge output (quadratic-class rules): abandon the
+            # local pass (engine state untouched) and run distributed
+            return False
         for pred, rows in derived.items():
             if not rows:
                 continue

@@ -33,14 +33,17 @@ def transitive_closure(
     dst: str = "dst",
     broadcast_threshold: int = 2_000_000,
     max_rounds: int = 64,
-    small_graph_threshold: int = 100_000,
+    small_graph_threshold: int = 10_000,
 ) -> DataFrame:
     """All (src, dst) pairs reachable via 1+ edges. Columns preserved.
 
-    ``small_graph_threshold`` > 0 (default 100k edges): dimension-sized edge
+    ``small_graph_threshold`` > 0 (default 10k edges): dimension-sized edge
     lists close on a single task (one job) instead of O(log d) distributed
     rounds — same output; data-sized inputs take the distributed doubling
-    path automatically."""
+    path automatically. The default is deliberately smaller than the CC
+    threshold: closure OUTPUT is worst-case quadratic in nodes (a 100k-node
+    chain closes to 5x10^9 pairs), so the single-task path must stay bounded;
+    CC output is linear in nodes, so its threshold can be 10x higher."""
     if small_graph_threshold and edges.count() <= small_graph_threshold:
         return _small_graph_tc(edges, src, dst)
     tc = (

@@ -386,3 +386,33 @@ def test_semi_join_reduction_delta_reduces_edb(spark):
         return sorted((r.c0, r.c1) for r in eng.table("reach").collect())
 
     assert run(0) == run(1)
+
+
+def test_local_fixpoint_overflow_falls_back_distributed(spark):
+    """Small INPUTS do not bound local-fixpoint OUTPUT: a quadratic rule
+    (cross product) over inputs under the size threshold trips the derived-
+    fact budget and the stratum transparently re-runs distributed — same
+    results, engine state unpolluted."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X, Y = Var("x"), Var("y")
+    prog = Program(rules=[Rule(head=Atom("pairs", X, Y), body=[Atom("a", X), Atom("b", Y)])])
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=1_000_000)
+    eng.register("a", spark.createDataFrame([(i,) for i in range(80)], "v long"))
+    eng.register("b", spark.createDataFrame([(i,) for i in range(80)], "v long"))
+
+    # shrink the budget so the 6400-row cross product overflows it
+    import nemo_spark.engine.local_fixpoint as lf_mod
+
+    orig = lf_mod.LocalFixpoint.__init__
+
+    def patched(self, tables, arities, chase, typed, max_derived=5_000_000):
+        orig(self, tables, arities, chase, typed, max_derived=1_000)
+
+    lf_mod.LocalFixpoint.__init__ = patched
+    try:
+        eng.run(prog)
+    finally:
+        lf_mod.LocalFixpoint.__init__ = orig
+    assert eng.table("pairs").count() == 6400
