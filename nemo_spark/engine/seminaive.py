@@ -196,7 +196,13 @@ class SemiNaiveEngine:
 
     def table(self, pred: str) -> DataFrame:
         """Facts of a predicate (columns c0..cn-1). Empty-typed table if the
-        predicate was never derived."""
+        predicate was never derived. A deferred import that was never loaded
+        (or only ever loaded restricted) full-loads here."""
+        if pred in self._deferred and pred not in self._tables:
+            from nemo_spark.model.rules import Atom, Var
+
+            probe = Atom(pred, *[Var(f"v{i}") for i in range(self._arity.get(pred, 1))])
+            return self._deferred_frame(probe, None, [])
         if pred not in self._tables:
             return self._empty(self._arity.get(pred, 1), pred)
         return self._tables[pred]

@@ -61,6 +61,15 @@ def _interpreted_expressions(spark: SparkSession):
                 spark.conf.set(k, v)
 
 
+def _select_vars(query: str) -> list[str] | None:
+    """Projected variable names of an explicit SELECT clause, in order
+    (None for SELECT * / non-SELECT forms — those stay eager)."""
+    m = re.search(r"SELECT\s+((?:\?\w+\s*)+)\s*WHERE", query, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    return re.findall(r"\?(\w+)", m.group(1))
+
+
 def sanitize_pred(pred: str) -> str:
     """Export filename sanitization (IRIs become file-safe names, e.g.
     ``https://example.org/result`` -> ``https___example.org_result`` as in
@@ -229,24 +238,33 @@ class RlsRunner:
 
             return read_json_typed(self.spark, res), 3
         if imp.fmt == "sparql":
-            from nemo_spark.sources.sparql import QUERY_DEFAULT, read_sparql_typed
+            from nemo_spark.sources.sparql import read_sparql_typed
 
-            endpoint = self._option_value(imp, "endpoint")
-            if endpoint is None:
-                raise CompileError("sparql import requires endpoint= (sparql.rs:69)")
-            q = self._option_value(imp, "query")
-            fmt_opt = self._option_value(imp, "format")
-            fmts = None
-            if fmt_opt is not None:
-                fmts = [v.lexical() for v in fmt_opt] if isinstance(fmt_opt, tuple) else [fmt_opt.lexical()]
-            df = read_sparql_typed(
-                self.spark,
-                endpoint.lexical(),
-                q.lexical() if q is not None else QUERY_DEFAULT,
-                formats=fmts,
-            )
+            endpoint, q, fmts = self._sparql_params(imp)
+            df = read_sparql_typed(self.spark, endpoint, q, formats=fmts)
             return df, len(df.columns)
         raise CompileError(f"unsupported import format {imp.fmt}")
+
+    def _sparql_params(self, imp) -> tuple[str, str, list[str] | None]:
+        from nemo_spark.sources.sparql import QUERY_DEFAULT
+
+        endpoint = self._option_value(imp, "endpoint")
+        if endpoint is None:
+            raise CompileError("sparql import requires endpoint= (sparql.rs:69)")
+        q = self._option_value(imp, "query")
+        fmt_opt = self._option_value(imp, "format")
+        fmts = None
+        if fmt_opt is not None:
+            fmts = (
+                [v.lexical() for v in fmt_opt]
+                if isinstance(fmt_opt, tuple)
+                else [fmt_opt.lexical()]
+            )
+        return (
+            endpoint.lexical(),
+            q.lexical() if q is not None else QUERY_DEFAULT,
+            fmts,
+        )
 
     # ------------------------------------------------------------------ run
 
@@ -257,7 +275,37 @@ class RlsRunner:
                 arities.setdefault(pred, len(rows[0]) if rows else 1)
 
             frames: dict[str, DataFrame] = {}
+            deferred: set[str] = set()
+            idb = self.compiled.program.idb_predicates()
+            import_count: dict[str, int] = {}
             for imp in self.compiled.imports:
+                import_count[imp.pred] = import_count.get(imp.pred, 0) + 1
+            for imp in self.compiled.imports:
+                # SPARQL imports are the reference's deferred-import case
+                # (join_imports over a remote source): register them lazily
+                # so rule bodies restrict them via pushed VALUES instead of
+                # eagerly pulling the whole endpoint. Only when the predicate
+                # is purely this one import (no union with facts/files/IDB)
+                # and the SELECT projection is explicit (arity known).
+                if (
+                    imp.fmt == "sparql"
+                    and import_count[imp.pred] == 1
+                    and imp.pred not in self.compiled.fact_rows
+                    and imp.pred not in idb
+                ):
+                    endpoint, q, fmts = self._sparql_params(imp)
+                    vars_ = _select_vars(q)
+                    if vars_ and fmts is None:
+                        from nemo_spark.sources.sparql import sparql_deferred_loader
+
+                        self.engine.register_deferred(
+                            imp.pred,
+                            sparql_deferred_loader(self.spark, endpoint, vars_, q),
+                            len(vars_),
+                        )
+                        arities.setdefault(imp.pred, len(vars_))
+                        deferred.add(imp.pred)
+                        continue
                 df, n = self._load_import(imp, arities.get(imp.pred))
                 arities.setdefault(imp.pred, n)
                 frames[imp.pred] = frames[imp.pred].unionByName(df) if imp.pred in frames else df
@@ -268,7 +316,7 @@ class RlsRunner:
                 self.engine.register(pred, df)
             # declared-but-empty predicates referenced in rule bodies
             for pred, n in arities.items():
-                if pred not in frames and pred not in self.compiled.program.idb_predicates():
+                if pred not in frames and pred not in deferred and pred not in idb:
                     self.engine.register(pred, empty_typed_df(self.spark, n))
             self.engine.run(self.compiled.program)
         self._ran = True

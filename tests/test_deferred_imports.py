@@ -172,3 +172,37 @@ def test_sparql_deferred_pushes_values(spark):
         assert any("VALUES (?s)" in q for _, q in _Endpoint.seen)
     finally:
         srv.shutdown()
+
+
+def test_rls_sparql_import_is_deferred_with_pushdown(spark):
+    """A @import ... sparql predicate used in a multi-atom rule body is
+    registered deferred by the runner: the endpoint receives a VALUES block
+    restricting the query to the body's bindings instead of a full pull."""
+    import threading
+    from http.server import HTTPServer
+
+    from nemo_spark.parser.runner import RlsRunner
+    from tests.test_sparql import _Endpoint
+
+    _Endpoint.seen = []
+    _Endpoint.max_values = None
+    srv = HTTPServer(("127.0.0.1", 0), _Endpoint)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    try:
+        src = f'''
+seed(<http://ex/a>) .
+seed(<http://ex/c>) .
+@import triple :- sparql{{endpoint="{endpoint}"}} .
+out(?x, ?p, ?y) :- seed(?x), triple(?x, ?p, ?y) .
+@export out :- csv{{}} .
+'''
+        r = RlsRunner(spark, source=src, workdir="/tmp").run()
+        got = sorted(tuple(t) for t in r.serialized("out").collect())
+        assert len(got) == 3  # a: knows+name, c: label
+        assert all(row[0] in ("http://ex/a", "http://ex/c") for row in got)
+        assert any("VALUES (?s)" in q for _, q in _Endpoint.seen)
+        # never a full unrestricted pull
+        assert all("VALUES" in q for _, q in _Endpoint.seen)
+    finally:
+        srv.shutdown()
