@@ -23,7 +23,7 @@ DataFrames:
 """
 
 from nemo_spark.model.rules import Var, Atom, Rule, Program, agg
-from nemo_spark.engine.seminaive import SemiNaiveEngine
+from nemo_spark.engine.seminaive import SemiNaiveEngine, semi_join_loader
 
-__all__ = ["Var", "Atom", "Rule", "Program", "agg", "SemiNaiveEngine"]
+__all__ = ["Var", "Atom", "Rule", "Program", "agg", "SemiNaiveEngine", "semi_join_loader"]
 __version__ = "0.1.0"

@@ -1,3 +1,3 @@
-from nemo_spark.sources import dsv, json_source, rdf
+from nemo_spark.sources import dsv, json_source, rdf, sparql
 
-__all__ = ["dsv", "json_source", "rdf"]
+__all__ = ["dsv", "json_source", "rdf", "sparql"]
