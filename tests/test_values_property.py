@@ -1,0 +1,143 @@
+"""Property-based tests (hypothesis) for the typed value model.
+
+The struct encoding (t, i, d, s) carries three load-bearing invariants the
+whole engine leans on (joins, #min/#max, dedup, export parity):
+
+1. equality of Values == equality of nemo data values (injective encoding),
+2. tuple ordering of ``as_row()`` == nemo's cross-domain total order
+   (``datavalue.rs:163-221`` relative_domain_position, numeric within-domain),
+3. DSV 'anything' serialization round-trips (``dsv/value_format.rs``).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nemo_spark.model.values import (
+    I64_MAX,
+    I64_MIN,
+    Value,
+    f32_round,
+    parse_dsv_any,
+    rust_f32_str,
+    rust_f64_str,
+)
+
+_ints = st.integers(min_value=I64_MIN, max_value=I64_MAX).map(Value.int)
+_doubles = st.floats(allow_nan=False, allow_infinity=False, width=64).map(Value.double)
+_floats = st.floats(allow_nan=False, allow_infinity=False, width=32).map(Value.float32)
+_strings = st.text(max_size=40).map(Value.string)
+# IRIs: the DSV 'anything' heuristic treats any token without '>'/' '/newline
+# as an IRI (token.rs:406), so generated IRIs stay in that shape
+_iri_alpha = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters=":/#._-"),
+    min_size=1,
+    max_size=40,
+)
+_iris = _iri_alpha.map(Value.iri)
+_langs = st.tuples(
+    st.text(max_size=20), st.sampled_from(["en", "de", "pt-br"])
+).map(lambda t: Value.lang_string(*t))
+_bools = st.booleans().map(Value.boolean)
+_nulls = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")), min_size=1, max_size=12
+).map(Value.null)
+
+_values = st.one_of(_ints, _doubles, _floats, _strings, _iris, _langs, _bools, _nulls)
+
+# Round-trip subset: DSV 'anything' is lexically ambiguous BY DESIGN, in the
+# reference too (value_format.rs:176-216): a bare IRI '0' reimports as the
+# integer 0, quoted strings are not unescaped on parse (value_format.rs:
+# 197-203 takes the raw slice), and labeled nulls reimport under fresh
+# labels. The round-trip law therefore holds exactly on the unambiguous
+# subset: no escapes in strings, IRIs starting with a letter.
+_plain_text = st.text(max_size=40).filter(lambda s: not any(c in s for c in '"\\\n\r'))
+_rt_strings = _plain_text.map(Value.string)
+_rt_langs = st.tuples(_plain_text, st.sampled_from(["en", "de", "pt-br"])).map(
+    lambda t: Value.lang_string(*t)
+)
+_rt_iris = _iri_alpha.filter(lambda s: s[0].isalpha()).map(Value.iri)
+# floats excluded: the reference's new_from_typed_literal has NO xsd:float
+# branch (any_datavalue.rs:202-250), so "1.5"^^<xsd:float> reimports as
+# Other — in nemo too, f32 values don't survive a DSV round trip
+_roundtrip_values = st.one_of(_ints, _doubles, _rt_strings, _rt_iris, _rt_langs, _bools)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_values, _values)
+def test_equality_iff_canonical_equal(a: Value, b: Value):
+    """The encoding is injective: two values are equal exactly when their
+    canonical serializations are equal (nemo: canonical_string is unique)."""
+    assert (a == b) == (a.canonical() == b.canonical())
+
+
+@settings(max_examples=300, deadline=None)
+@given(_values, _values, _values)
+def test_struct_order_is_total_and_transitive(a: Value, b: Value, c: Value):
+    ra, rb, rc = a.as_row(), b.as_row(), c.as_row()
+    # totality: exactly one of <, ==, > (Python tuple order gives this for
+    # identically-typed fields; the encoding guarantees the fields compare)
+    assert (ra < rb) + (ra == rb) + (ra > rb) == 1
+    if ra < rb and rb < rc:
+        assert ra < rc
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=I64_MIN, max_value=I64_MAX),
+    st.integers(min_value=I64_MIN, max_value=I64_MAX),
+)
+def test_int_order_matches_numeric(x: int, y: int):
+    """Within the integer domain, struct order == numeric order (nemo keeps
+    the natural number order inside the i64 block)."""
+    assert (Value.int(x).as_row() < Value.int(y).as_row()) == (x < y)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_values)
+def test_domain_rank_governs_cross_domain_order(v: Value):
+    """Cross-domain: nulls(10) < IRIs(13) < strings(20..) < booleans(30) <
+    floats(50..) < integers(100..) — SPARQL-compatible domain order."""
+    null = Value.null("n")
+    iri = Value.iri("x")
+    assert null.as_row() < iri.as_row()
+    if v.t > iri.t:
+        assert iri.as_row() < v.as_row()
+
+
+@settings(max_examples=300, deadline=None)
+@given(_roundtrip_values)
+def test_dsv_any_round_trips(v: Value):
+    """serialize -> parse is the identity for every DSV-expressible domain
+    (the blackbox export/import parity in property form)."""
+    assert parse_dsv_any(v.dsv_any()) == v
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_rust_f64_str_round_trips(d: float):
+    """The Rust-Display-style double formatter picks digits that round-trip."""
+    assert float(rust_f64_str(d)) == d
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_rust_f32_str_round_trips(d: float):
+    assert f32_round(float(rust_f32_str(d))) == f32_round(d)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_values, max_size=4), st.lists(st.tuples(_values, _values), max_size=4))
+def test_tuple_map_encoding_injective(elems, pairs):
+    """Tuples/maps: same elements <=> equal values; maps ignore pair order."""
+    t1 = Value.tuple_of(elems)
+    t2 = Value.tuple_of(list(elems))
+    assert t1 == t2
+    m1 = Value.map_of(pairs)
+    m2 = Value.map_of(list(reversed(pairs)))
+    # reversed insert order only differs when duplicate keys pick different
+    # values (last-wins); without duplicate keys the maps must be equal
+    keys = [k.as_row() for k, _ in pairs]
+    if len(set(keys)) == len(keys):
+        assert m1 == m2
