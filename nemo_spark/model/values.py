@@ -241,6 +241,22 @@ class Value:
             return quote_string(self.s) + "^^" + quote_iri(self.datatype_iri())
         raise ValueError_(f"unknown tag {self.t}")
 
+    def rdf_term(self) -> str:
+        """N-Triples term form (RDF export, ``rdf/writer.rs`` via oxrdf):
+        IRIs bracketed, labeled nulls as blank nodes, plain strings bare
+        quoted, language strings tagged, everything else a typed literal
+        over the canonical lexical form."""
+        if self.t == T_IRI:
+            return "<" + self.s + ">"
+        if self.t == T_NULL:
+            return "_:" + self.s
+        if self.t == T_STRING:
+            return quote_string(self.s)
+        if self.t == T_LANG:
+            text, tag = self.lang_pair()
+            return quote_string(text) + "@" + tag
+        return quote_string(self.lexical()) + "^^" + quote_iri(self.datatype_iri())
+
     def dsv_any(self) -> str:
         """DSV export, 'anything' format: integers plain, plain strings
         canonical (quoted), IRIs bare, rest canonical

@@ -28,8 +28,12 @@ from nemo_spark.sources.dsv_typed import (
     typed_rows_df,
 )
 
-_EXT = {"csv": "csv", "tsv": "tsv", "dsv": "dsv"}
+_EXT = {
+    "csv": "csv", "tsv": "tsv", "dsv": "dsv",
+    "ntriples": "nt", "nquads": "nq", "turtle": "ttl", "trig": "trig", "rdf": "nt",
+}
 _DELIM = {"csv": ",", "tsv": "\t"}
+_RDF_FMTS = ("ntriples", "nquads", "turtle", "trig", "rdf")
 
 
 @contextmanager
@@ -365,6 +369,16 @@ class RlsRunner:
         os.makedirs(out_dir, exist_ok=True)
         with _interpreted_expressions(self.spark):
             for name, (df, exp) in self.export_frames().items():
+                if exp.fmt in _RDF_FMTS:
+                    from nemo_spark.sources.rdf_typed import serialize_rdf_typed
+
+                    fmt = exp.fmt
+                    if fmt == "rdf":
+                        fmt = "nquads" if len(df.columns) == 4 else "ntriples"
+                    serialize_rdf_typed(df, fmt).write.mode("overwrite").text(
+                        os.path.join(out_dir, name)
+                    )
+                    continue
                 sep = _DELIM.get(exp.fmt) or (
                     self._option_value(exp, "delimiter").lexical()
                     if "delimiter" in exp.options

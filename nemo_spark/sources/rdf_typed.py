@@ -350,3 +350,45 @@ def _read_rdf_doc(spark: SparkSession, path: str, fmt: str) -> DataFrame:
             yield pd.DataFrame({f"c{i}": cols[i] for i in range(ncols)})
 
     return spark.read.text(path, wholetext=True).mapInPandas(parse, schema=schema)
+
+
+def serialize_rdf_typed(df: DataFrame, fmt: str = "ntriples") -> DataFrame:
+    """Typed value table -> one string column of N-Triples / N-Quads lines.
+
+    Reference semantics (``nemo/src/io/formats/rdf/writer.rs:241-305``):
+    rows whose subject is not an IRI / blank node, or whose predicate (or
+    graph, for quads) is not an IRI, are DROPPED (set_*_from_datavalue
+    returning false skips the record); objects may be any term. Quads use
+    the reader's (graph, s, p, o) column layout. ``turtle`` emits the same
+    line set (every N-Triples document is valid Turtle)."""
+    from nemo_spark.model.values import T_IRI, T_NULL
+
+    quads = fmt in ("nquads", "trig")
+    cols = list(df.columns)
+    expected = 4 if quads else 3
+    if len(cols) != expected:
+        raise ValueError(f"{fmt} export needs arity {expected}, got {len(cols)}")
+
+    def ser(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in zip(*[pdf[c] for c in cols]):
+                vals = [None if c is None else Value(c["t"], c["i"], c["d"], c["s"]) for c in row]
+                if any(v is None for v in vals):
+                    continue
+                if quads:
+                    g, s, p, o = vals
+                else:
+                    s, p, o = vals
+                    g = None
+                if s.t not in (T_IRI, T_NULL) or p.t != T_IRI:
+                    continue  # writer.rs drop semantics
+                if g is not None and g.t not in (T_IRI, T_NULL):
+                    continue
+                line = f"{s.rdf_term()} {p.rdf_term()} {o.rdf_term()}"
+                if g is not None:
+                    line += f" {g.rdf_term()}"
+                out.append(line + " .")
+            yield pd.DataFrame({"value": out})
+
+    return df.mapInPandas(ser, schema="value string")

@@ -167,3 +167,33 @@ reach(?x, ?z) :- reach(?x, ?y), knows(?y, ?z) .
         ("http://ex/a", "http://ex/c"),
         ("http://ex/b", "http://ex/c"),
     ]
+
+
+def test_rdf_export_roundtrip_and_drop_semantics(spark, tmp_path):
+    """@export ... ntriples: typed table -> N-Triples lines with the
+    reference writer's drop semantics (non-IRI/bnode subject or non-IRI
+    predicate drops the row, rdf/writer.rs:241-305); re-importing the
+    export yields the surviving triples unchanged."""
+    import glob
+
+    from nemo_spark.parser.runner import RlsRunner
+    from nemo_spark.sources.rdf_typed import read_rdf_typed
+
+    src = '''
+t(<http://ex/a>, <http://ex/p>, "lit") .
+t(<http://ex/a>, <http://ex/p>, 42) .
+t("not-an-iri", <http://ex/p>, <http://ex/b>) .
+t(<http://ex/a>, "not-an-iri", <http://ex/b>) .
+@export t :- ntriples{} .
+'''
+    r = RlsRunner(spark, source=src, workdir="/tmp").run()
+    out = str(tmp_path / "exports")
+    r.write_exports(out)
+    (path,) = glob.glob(f"{out}/*.nt")
+    back = read_rdf_typed(spark, path, "ntriples")
+    rows = sorted(
+        tuple(tuple(c) for c in row) for row in back.collect()
+    )
+    assert len(rows) == 2  # the two literal-subject / literal-predicate rows dropped
+    assert "lit" in {row[2][3] for row in rows}
+    assert 42 in {row[2][1] for row in rows}
