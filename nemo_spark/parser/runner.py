@@ -218,6 +218,16 @@ class RlsRunner:
         return cache[url]
 
     def _load_import(self, imp, arity_hint: int | None) -> tuple[DataFrame, int]:
+        df, n = self._load_import_inner(imp, arity_hint)
+        lim = self._option_value(imp, "limit")
+        if lim is not None:
+            # StandardParameter::Limit (reference DsvReader/RdfReader limit:
+            # stop after N records; Spark's limit picks N rows without a
+            # file-order guarantee — same cardinality contract)
+            df = df.limit(lim.int_value())
+        return df, n
+
+    def _load_import_inner(self, imp, arity_hint: int | None) -> tuple[DataFrame, int]:
         res = self._resource(imp)
         if imp.fmt in ("csv", "tsv", "dsv"):
             fmts = self._formats(imp, arity_hint)
@@ -338,7 +348,11 @@ class RlsRunner:
                 name = r.lexical()
             else:
                 name = sanitize_pred(exp.pred) + "." + _EXT.get(exp.fmt, exp.fmt)
-            out[name] = (self.table(exp.pred), exp)
+            df = self.table(exp.pred)
+            lim = self._option_value(exp, "limit")
+            if lim is not None:
+                df = df.limit(lim.int_value())  # writer stop_limit semantics
+            out[name] = (df, exp)
         return out
 
     def serialized(self, pred: str) -> DataFrame:

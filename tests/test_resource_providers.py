@@ -54,3 +54,28 @@ doubled(?x, ?y * 2) :- p(?x, ?y) .
     r = RlsRunner(spark, source=src, workdir="/tmp").run()
     got = sorted(tuple(t) for t in r.serialized("doubled").collect())
     assert got == [('"x"', "20"), ('"y"', "40")]
+
+
+def test_import_export_limit_option(spark, tmp_path):
+    """limit= on imports and exports (StandardParameter::Limit): the reader
+    stops after N records, the writer after N rows."""
+    import glob
+
+    from nemo_spark.parser.runner import RlsRunner
+
+    data = tmp_path / "data.csv"
+    data.write_text("".join(f"r{i},{i}\n" for i in range(10)))
+    src = '''
+@import p :- csv{resource="data.csv", format=(string, int), limit=4} .
+q(?x, ?y) :- p(?x, ?y) .
+@export q :- csv{limit=2} .
+'''
+    r = RlsRunner(spark, source=src, workdir=str(tmp_path)).run()
+    assert r.table("q").count() == 4
+    out = str(tmp_path / "exports")
+    r.write_exports(out)
+    (d,) = glob.glob(f"{out}/q.csv")
+    lines = []
+    for part in glob.glob(f"{d}/part-*"):
+        lines += [ln for ln in open(part).read().splitlines() if ln]
+    assert len(lines) == 2
