@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nemo_spark.engine.seminaive import SemiNaiveEngine
-from nemo_spark.functions.typed import dsv_any_col
 from nemo_spark.model.values import Value
 from nemo_spark.parser.compile import CompiledProgram, CompileError, GroundEval, compile_program
 from nemo_spark.parser.rls import TVar, parse_rls
@@ -398,8 +397,24 @@ class RlsRunner:
                     if "delimiter" in exp.options
                     else ","
                 )
-                ser = df.select(*[dsv_any_col(F.col(c)).alias(c) for c in df.columns])
-                ser.write.mode("overwrite").option("sep", sep).csv(os.path.join(out_dir, name))
+                # ONE serializer for both surfaces: the same Arrow-batched
+                # Value.dsv_any pass as serialized() (parity-tested against
+                # every reference golden; also handles nullary predicates,
+                # whose unit column is a plain string)
+                if exp.pred in self.compiled.nullary:
+                    ser = df.limit(1).select(F.lit("").alias("c0"))
+                else:
+                    ser = df.mapInPandas(
+                        _serialize_batches(df.columns),
+                        schema=", ".join(f"{c} string" for c in df.columns),
+                    )
+                # escape = quote char: standard CSV quote-doubling, matching
+                # the reference's csv crate double_quote(true) writer
+                # (dsv/writer.rs:42-44); Spark's default backslash-escape
+                # would diverge on cells containing quotes
+                ser.write.mode("overwrite").option("sep", sep).option(
+                    "escape", '"'
+                ).csv(os.path.join(out_dir, name))
 
 
 def _serialize_batches(cols):

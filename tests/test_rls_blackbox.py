@@ -191,3 +191,39 @@ def test_nullary_predicates(spark):
     assert sorted(t[0] for t in r.serialized("no").collect()) == ["1", "2"]
     assert [tuple(t) for t in r.serialized("flag").collect()] == [("",)]
     assert r.serialized("off").count() == 0
+
+
+@pytest.mark.parametrize(
+    "rls_rel",
+    [
+        "regression/datatypes/normalization/run.rls",
+        "regression/restricted_chase/only_nulls.rls",
+        "arithmetic/builtins.rls",
+        "basic/union.rls",
+    ],
+)
+def test_write_exports_matches_serialized(spark, rls_rel, tmp_path):
+    """write_exports (the file surface) must emit exactly serialized()'s
+    rows under standard CSV quote-doubling (reference csv crate
+    double_quote(true), dsv/writer.rs:42-44) — caught two real bugs:
+    Spark's default backslash-escape diverging on quoted cells, and a crash
+    on nullary predicates."""
+    import csv as _csv
+    import glob
+
+    from nemo_spark.parser import run_rls
+    from nemo_spark.parser.runner import _DELIM
+
+    runner = run_rls(spark, os.path.join(TESTCASES, rls_rel))
+    out = str(tmp_path / "exports")
+    runner.write_exports(out)
+    for name, (df, exp) in runner.export_frames().items():
+        if exp.fmt not in ("csv", "tsv", "dsv"):
+            continue
+        sep = _DELIM.get(exp.fmt) or ","
+        want = sorted(tuple(t) for t in runner.serialized(exp.pred).collect())
+        got = []
+        for part in glob.glob(os.path.join(out, name, "part-*")):
+            with open(part, newline="") as f:
+                got += [tuple(rec) for rec in _csv.reader(f, delimiter=sep)]
+        assert sorted(got) == want, f"{rls_rel}:{name}"
