@@ -64,7 +64,12 @@ U64_MAX = (1 << 64) - 1
 # Spark schema of one encoded value column
 VALUE_SCHEMA = "struct<t:int,i:bigint,d:double,s:string>"
 
-SEP = "\x00"  # payload separator inside s for LANG (text SEP tag) / OTHER (lexical SEP dtype)
+# payload separator inside s for LANG (text SEP tag) / OTHER (lexical SEP
+# dtype). In-band by design (language tags and datatype IRIs can never
+# contain NUL); the one representational limit is lang-TEXT/OTHER-lexical
+# payloads containing NUL themselves — lang_pair/other_pair split on the
+# FIRST separator, so such payloads truncate (documented, property-tested).
+SEP = "\x00"
 
 
 class ValueError_(ValueError):
