@@ -136,6 +136,22 @@ def q_string_ops(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_salted_join_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit skew salting (ops/skew.py): orders joined to customer with
+    the fact side's hot keys spread over 8 salt buckets — row-identical to
+    the plain equi-join (the oracle), which is exactly the property that
+    makes salting a safe drop-in when a key distribution melts a reducer."""
+    from nemo_spark.ops.skew import salted_join
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return salted_join(o, c, on="c_custkey", salt_factor=8).select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
 def q_filter_pushdown_orders(spark: SparkSession, sf: str) -> DataFrame:
     # predicate + projection pushdown to the parquet scan
     return (
@@ -602,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "try_arithmetic": q_try_arithmetic,
         "string_ops": q_string_ops,
         "filter_pushdown_orders": q_filter_pushdown_orders,
+        "salted_join_orders": q_salted_join_orders,
         "tc_nations": q_tc_nations,
         "cc_users": q_cc_users,
         "datalog_negation": q_datalog_negation,
@@ -786,6 +803,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rls_datatypes": _rls_datatypes_oracle_sql(),
         "rls_tuples": _rls_tuples_oracle_sql(),
+        "salted_join_orders": """
+            SELECT o_orderkey, o_custkey AS c_custkey, c_name,
+                   o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
         "sparql_import": """
             SELECT concat('http://ex/nation/', CAST(n_nationkey AS VARCHAR)) AS nation_iri,
                    n_name
