@@ -186,7 +186,28 @@ class RlsRunner:
             return self._stage_http(path)
         if re.match(r"^[a-z][a-z0-9+.-]*://", path):
             return path
-        return os.path.join(self.workdir, path)
+        path = os.path.join(self.workdir, path)
+        if self._compression(imp) == "gzip" and not path.endswith(".gz"):
+            # explicit compression=gzip on a non-.gz name: Spark infers the
+            # codec from the extension, so stage a .gz-suffixed link/copy
+            # (compression_format.rs gzip; extension-independent in nemo)
+            import shutil
+            import tempfile
+
+            cache = getattr(self, "_gz_cache", None)
+            if cache is None:
+                cache = self._gz_cache = {}
+            if path not in cache:
+                fd, p = tempfile.mkstemp(prefix="nemo_gz_", suffix=".gz")
+                os.close(fd)
+                try:
+                    os.remove(p)
+                    os.symlink(os.path.abspath(path), p)
+                except OSError:
+                    shutil.copyfile(path, p)
+                cache[path] = p
+            return cache[path]
+        return path
 
     def _stage_stdin(self) -> str:
         import sys
@@ -215,6 +236,15 @@ class RlsRunner:
                 f.write(resp.read())
             cache[url] = p
         return cache[url]
+
+    def _compression(self, node) -> str:
+        c = self._option_value(node, "compression")
+        if c is None:
+            return "none"
+        name = c.lexical()
+        if name not in ("none", "gzip"):
+            raise CompileError(f"unsupported compression {name!r} (compression_format.rs)")
+        return name
 
     def _load_import(self, imp, arity_hint: int | None) -> tuple[DataFrame, int]:
         df, n = self._load_import_inner(imp, arity_hint)
@@ -412,9 +442,10 @@ class RlsRunner:
                 # the reference's csv crate double_quote(true) writer
                 # (dsv/writer.rs:42-44); Spark's default backslash-escape
                 # would diverge on cells containing quotes
-                ser.write.mode("overwrite").option("sep", sep).option(
-                    "escape", '"'
-                ).csv(os.path.join(out_dir, name))
+                w = ser.write.mode("overwrite").option("sep", sep).option("escape", '"')
+                if self._compression(exp) == "gzip":
+                    w = w.option("compression", "gzip")
+                w.csv(os.path.join(out_dir, name))
 
 
 def _serialize_batches(cols):

@@ -79,3 +79,32 @@ q(?x, ?y) :- p(?x, ?y) .
     for part in glob.glob(f"{d}/part-*"):
         lines += [ln for ln in open(part).read().splitlines() if ln]
     assert len(lines) == 2
+
+
+def test_compression_option_gzip(spark, tmp_path):
+    """compression="gzip" (compression_format.rs): imports decompress even
+    without a .gz filename; exports write gzip part files."""
+    import glob
+    import gzip
+
+    from nemo_spark.parser.runner import RlsRunner
+
+    raw = tmp_path / "data.dat"  # no .gz extension on purpose
+    with gzip.open(raw, "wt") as f:
+        f.write("a,1\nb,2\n")
+    src = '''
+@import p :- csv{resource="data.dat", format=(string, int), compression="gzip"} .
+q(?x, ?y) :- p(?x, ?y) .
+@export q :- csv{compression="gzip"} .
+'''
+    r = RlsRunner(spark, source=src, workdir=str(tmp_path)).run()
+    assert r.table("q").count() == 2
+    out = str(tmp_path / "exports")
+    r.write_exports(out)
+    parts = glob.glob(f"{out}/q.csv/part-*.gz")
+    assert parts, "export parts not gzip-compressed"
+    lines = []
+    for part in parts:
+        with gzip.open(part, "rt") as f:
+            lines += [ln for ln in f.read().splitlines() if ln]
+    assert len(lines) == 2
