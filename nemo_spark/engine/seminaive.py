@@ -92,6 +92,7 @@ class SemiNaiveEngine:
         bucket_history_threshold: int = 1_000_000,  # rows before a predicate's history migrates to the bucketed layout (0 = from the first merge)
         local_stratum_threshold: int = 100_000,  # size-adaptive local fixpoint (0 = always distributed)
         semi_join_reduction: int = 2_000_000,  # rows before a body atom gets semi-join-reduced (0 = never)
+        semi_join_reduction_shuffle: bool = False,  # allow non-broadcast (shuffled) reducers
     ) -> None:
         self.spark = spark
         self.broadcast_threshold = broadcast_threshold
@@ -133,6 +134,14 @@ class SemiNaiveEngine:
         # intermediates larger than the output; the reducer bounds each
         # input by the other relations' key sets before any shuffle join.
         self.semi_join_reduction = semi_join_reduction
+        # semi_join_reduction_shuffle: by default only broadcastable atoms
+        # serve as reducers (the semi-join is then shuffle-free on the big
+        # side). Opt-in, this allows SHUFFLED left-semi reducers too — the
+        # all-big cyclic case (triangles over one huge relation), where the
+        # reference's WCOJ bounds intermediates and binary joins cannot;
+        # each shuffled semi-join costs one exchange of the reduced atom but
+        # caps the join intermediate at the (much smaller) reduced size.
+        self.semi_join_reduction_shuffle = semi_join_reduction_shuffle
         if chase not in ("restricted", "skolem"):
             raise ValueError(f"unknown chase variant: {chase}")
         self.chase = chase
@@ -817,13 +826,16 @@ class SemiNaiveEngine:
                 ocnt = self._table_counts.get(other.pred, self.broadcast_threshold + 1)
             else:
                 continue
-            if ocnt > self.broadcast_threshold:
-                continue  # only cheap (broadcastable) reducers
+            broadcastable = ocnt <= self.broadcast_threshold
+            if not broadcastable and not self.semi_join_reduction_shuffle:
+                continue  # default: only cheap (broadcastable) reducers
             shared = [v.name for v in _uniq(other.variables()) if v.name in my_vars]
             if not shared:
                 continue
             keys = self._bind_atom(osrc, other).select(*shared).dropDuplicates()
-            adf = adf.join(F.broadcast(keys), on=shared, how="left_semi")
+            if broadcastable:
+                keys = F.broadcast(keys)
+            adf = adf.join(keys, on=shared, how="left_semi")
         return adf
 
     def _deferred_frame(

@@ -416,3 +416,42 @@ def test_local_fixpoint_overflow_falls_back_distributed(spark):
     finally:
         lf_mod.LocalFixpoint.__init__ = orig
     assert eng.table("pairs").count() == 6400
+
+
+def test_semi_join_reduction_shuffled_all_big(spark):
+    """Opt-in shuffled reducers (semi_join_reduction_shuffle=True): the
+    all-big cyclic case — every triangle atom is the same 'large' relation,
+    so no broadcastable reducer exists; shuffled left-semi reducers still
+    bound the intermediates, results identical to the unreduced plan."""
+    import random
+
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    random.seed(13)
+    edges = list({(random.randrange(50), random.randrange(50)) for _ in range(300)})
+    tri = Rule(
+        head=Atom("tri", X, Y, Z),
+        body=[Atom("e", X, Y), Atom("e", Y, Z), Atom("e", Z, X)],
+    )
+
+    def run(shuffle):
+        eng = SemiNaiveEngine(
+            spark,
+            semi_join_reduction=1 if shuffle else 0,
+            semi_join_reduction_shuffle=shuffle,
+            broadcast_threshold=1,  # nothing is broadcastable: forces shuffled reducers
+            local_stratum_threshold=0,
+        )
+        eng.register("e", spark.createDataFrame(edges, "a long, b long"))
+        eng.run(Program(rules=[tri]))
+        got = sorted((r.c0, r.c1, r.c2) for r in eng.table("tri").collect())
+        return eng, tri, got
+
+    _, _, plain = run(False)
+    eng, rule, reduced = run(True)
+    assert plain == reduced and len(plain) > 0
+    parts = eng._eval_rule(rule, {}, {}, use_delta_atom=None)
+    plan = parts["tri"]._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
