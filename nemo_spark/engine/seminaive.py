@@ -407,6 +407,12 @@ class SemiNaiveEngine:
             for p in reset:
                 self._tables.pop(p, None)
                 self._table_counts.pop(p, None)
+                # a bucketed history table is part of the predicate's state:
+                # leaving it would resurrect retracted facts on the next
+                # merge (the anti-join would read the stale managed table)
+                tbl = self._history_tables.pop(p, None)
+                if tbl is not None:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             self._provenance = [rec for rec in self._provenance if rec[0] not in reset]
             for stratum_idx, rules in enumerate(strata):
                 self._run_stratum(stratum_idx, rules)

@@ -167,6 +167,32 @@ def test_extend_nonmonotone_resets_idb(spark):
     assert {r.c0 for r in eng.table("lonely").collect()} == set()
 
 
+def test_extend_nonmonotone_resets_bucketed_history(spark):
+    """The same retraction with BUCKETED history engaged: the reset must
+    also drop the predicate's bucketed managed table, or the next merge's
+    anti-join would read stale facts and resurrect them."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X = Var("x")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("lonely", X), body=[Atom("node", X)], negated=[Atom("edge", X)]),
+        ]
+    )
+    eng = SemiNaiveEngine(
+        spark, bucket_history=4, bucket_history_threshold=0, local_stratum_threshold=0
+    )
+    eng.register("node", spark.createDataFrame([(1,), (2,)], ["a"]))
+    eng.register("edge", spark.createDataFrame([(2,)], ["a"]))
+    eng.run(prog)
+    assert {r.c0 for r in eng.table("lonely").collect()} == {1}
+    assert eng.history_table_name("lonely") is not None
+    eng.extend(prog, {"edge": spark.createDataFrame([(1,)], ["a"])})
+    assert {r.c0 for r in eng.table("lonely").collect()} == set()
+    assert eng.history_table_name("lonely") is None
+
+
 def test_extend_nonmonotone_aggregate_no_stale_rows(spark):
     """Aggregate rules under extend must not keep stale aggregate values."""
     from nemo_spark.engine.seminaive import SemiNaiveEngine
