@@ -358,6 +358,11 @@ class SemiNaiveEngine:
             if p in self._arity and self._arity[p] != n:
                 raise ValueError(f"predicate {p}: registered arity {self._arity[p]} != program arity {n}")
             self._arity.setdefault(p, n)
+        bad = self._deferred.keys() & program.idb_predicates()
+        if bad:
+            # a deferred import is an EDB source; deriving into it would
+            # interleave loader frames with merged facts incoherently
+            raise ValueError(f"deferred import predicates cannot be rule heads: {sorted(bad)}")
 
         # inline facts (nemo: SimpleTable, management/database/sources.rs:14)
         for p, rows in program.facts.items():

@@ -206,3 +206,15 @@ out(?x, ?p, ?y) :- seed(?x), triple(?x, ?p, ?y) .
         assert all("VALUES" in q for _, q in _Endpoint.seen)
     finally:
         srv.shutdown()
+
+
+def test_deferred_pred_cannot_be_idb_head(spark):
+    """A deferred import is an EDB source: deriving into it is rejected
+    (loader frames and merged facts would interleave incoherently)."""
+    import pytest
+
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng.register_deferred("imp", lambda b: None, 2)
+    prog = Program(rules=[Rule(head=Atom("imp", X, Y), body=[Atom("imp", X, Y)])])
+    with pytest.raises(ValueError, match="deferred import"):
+        eng.run(prog)
