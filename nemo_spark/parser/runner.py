@@ -335,6 +335,9 @@ class RlsRunner:
                     and import_count[imp.pred] == 1
                     and imp.pred not in self.compiled.fact_rows
                     and imp.pred not in idb
+                    # options beyond endpoint/query (limit, format, ...)
+                    # need the eager path's option handling
+                    and set(imp.options) <= {"endpoint", "query"}
                 ):
                     endpoint, q, fmts = self._sparql_params(imp)
                     vars_ = _select_vars(q)
