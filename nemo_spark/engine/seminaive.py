@@ -174,6 +174,13 @@ class SemiNaiveEngine:
 
     def register(self, pred: str, df: DataFrame) -> None:
         """Register an EDB table; columns are positional (renamed c0..cn-1)."""
+        if pred in self._deferred:
+            # a deferred import's rows would silently vanish behind the
+            # registered table (rule eval checks _tables first) — reject,
+            # mirroring the idb-head check in run()
+            raise ValueError(
+                f"predicate {pred} is a deferred import; register() would shadow it"
+            )
         n = len(df.columns)
         df = df.toDF(*_cols(n)).dropDuplicates()
         self._tables[pred] = df
@@ -197,6 +204,11 @@ class SemiNaiveEngine:
         server-side as paged VALUES blocks. Restricted loads are evaluated
         per rule application (never cached); a full load is cached and the
         predicate behaves like a plain EDB table afterwards."""
+        if pred in self._tables:
+            raise ValueError(
+                f"predicate {pred} already has a registered table; a deferred "
+                "import would be silently ignored (register() wins rule eval)"
+            )
         self._deferred[pred] = loader
         self._arity[pred] = arity
 
@@ -363,6 +375,13 @@ class SemiNaiveEngine:
             # a deferred import is an EDB source; deriving into it would
             # interleave loader frames with merged facts incoherently
             raise ValueError(f"deferred import predicates cannot be rule heads: {sorted(bad)}")
+        bad = self._deferred.keys() & program.facts.keys()
+        if bad:
+            # inline facts would merge into _tables and shadow the loader:
+            # the import's rows would silently never load
+            raise ValueError(
+                f"deferred import predicates cannot also have inline facts: {sorted(bad)}"
+            )
 
         # inline facts (nemo: SimpleTable, management/database/sources.rs:14)
         for p, rows in program.facts.items():
@@ -871,6 +890,8 @@ class SemiNaiveEngine:
             self._tables[atom.pred] = df
             self._schemas.setdefault(atom.pred, df.schema)
             self._table_counts[atom.pred] = df.count()
+            # fully loaded: from here on the predicate IS a plain table
+            self._deferred.pop(atom.pred, None)
             return df
         keys = bound.select(*[F.col(n) for _, n in shared]).dropDuplicates()
         return loader((shared, keys))

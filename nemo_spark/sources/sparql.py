@@ -20,18 +20,26 @@ Reference semantics (``nemo/src/io/formats/sparql.rs``,
 
 Spark mapping: the HTTP exchange is inherently a single-server boundary
 (the endpoint, not Spark, is the bottleneck), so pages are fetched on the
-driver and the *parsing* is distributed — response lines are parallelized
-and decoded by the same Arrow-batched cell parser as the DSV reader. At
-cluster scale multiple VALUES pages fetch concurrently (thread pool), which
-is also how a 1000-executor job should treat a remote endpoint: bounded
-client-side parallelism, never one request per task hammering the server.
+driver — but each response body is STREAMED to a staging file in bounded
+chunks (driver memory stays O(chunk), never O(result)) and the *parsing*
+is distributed: ``spark.read.text`` over the staged pages feeds the same
+Arrow-batched cell parser as the DSV reader. At cluster scale the staging
+directory should live on the DFS (set ``NEMO_SPARK_SPARQL_STAGING``);
+multiple VALUES pages fetch concurrently (thread pool), which is also how
+a 1000-executor job should treat a remote endpoint: bounded client-side
+parallelism, never one request per task hammering the server.
 """
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 import urllib.error
 import urllib.parse
 import urllib.request
+import uuid
 from collections.abc import Iterator, Sequence
 from concurrent.futures import ThreadPoolExecutor
 
@@ -48,11 +56,12 @@ QUERY_DEFAULT = "SELECT ?s ?p ?o WHERE { ?s ?p ?o }"  # sparql.rs:48
 _ACCEPT = "text/tab-separated-values"
 
 
-def fetch_sparql_tsv(endpoint: str, query: str, timeout: float = 120.0) -> str:
-    """One SPARQL protocol exchange; returns the raw TSV body."""
+def _sparql_request(endpoint: str, query: str) -> urllib.request.Request:
+    """GET when the query fits the URL budget, form-POST otherwise
+    (sparql.rs:39, :188-192; resource_providers/http.rs:108-115)."""
     if len(query) > HTTP_GET_CHAR_LIMIT:
         data = urllib.parse.urlencode({"query": query}).encode()
-        req = urllib.request.Request(
+        return urllib.request.Request(
             endpoint,
             data=data,
             headers={
@@ -60,14 +69,73 @@ def fetch_sparql_tsv(endpoint: str, query: str, timeout: float = 120.0) -> str:
                 "Content-Type": "application/x-www-form-urlencoded",
             },
         )
-    else:
-        sep = "&" if "?" in endpoint else "?"
-        req = urllib.request.Request(
-            endpoint + sep + urllib.parse.urlencode({"query": query}),
-            headers={"Accept": _ACCEPT},
-        )
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
+    sep = "&" if "?" in endpoint else "?"
+    return urllib.request.Request(
+        endpoint + sep + urllib.parse.urlencode({"query": query}),
+        headers={"Accept": _ACCEPT},
+    )
+
+
+def fetch_sparql_tsv(endpoint: str, query: str, timeout: float = 120.0) -> str:
+    """One SPARQL protocol exchange; returns the raw TSV body (small-result
+    convenience — the import path streams to files instead)."""
+    with urllib.request.urlopen(_sparql_request(endpoint, query), timeout=timeout) as resp:
         return resp.read().decode("utf-8")
+
+
+_CHUNK = 1 << 20  # streaming read granularity: driver memory per page is O(this)
+_staging_dirs: list[str] = []
+
+
+def _cleanup_staging() -> None:  # pragma: no cover - atexit
+    for d in _staging_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_staging)
+
+
+def _staging_dir() -> str:
+    """Directory the staged TSV pages land in. Local temp by default; point
+    ``NEMO_SPARK_SPARQL_STAGING`` at a DFS mount on a real cluster so the
+    executors read the pages without driver involvement. Files must outlive
+    the (lazy) DataFrame, so cleanup is deferred to process exit."""
+    base = os.environ.get("NEMO_SPARK_SPARQL_STAGING")
+    d = tempfile.mkdtemp(prefix="nemo_sparql_", dir=base)
+    _staging_dirs.append(d)
+    return d
+
+
+def fetch_sparql_to_file(
+    endpoint: str, query: str, dest_dir: str, timeout: float = 120.0
+) -> tuple[list[str], str]:
+    """Stream one exchange's TSV body to ``dest_dir``, header line stripped
+    while streaming (ignore_headers=true per page, reader.rs:166). Returns
+    ``(header_variables, file_path)``. Driver memory stays O(_CHUNK): the
+    body is copied to disk chunk-by-chunk, never held whole."""
+    path = os.path.join(dest_dir, f"page-{uuid.uuid4().hex}.tsv")
+    header: list[str] | None = None
+    buf = b""
+    with urllib.request.urlopen(_sparql_request(endpoint, query), timeout=timeout) as resp:
+        with open(path, "wb") as f:
+            while True:
+                chunk = resp.read(_CHUNK)
+                if not chunk:
+                    break
+                if header is None:
+                    buf += chunk
+                    nl = buf.find(b"\n")
+                    if nl < 0:
+                        continue
+                    header = buf[:nl].decode("utf-8").rstrip("\r").split("\t")
+                    f.write(buf[nl + 1 :])
+                    buf = b""
+                else:
+                    f.write(chunk)
+    if header is None:
+        # headerless / empty body: the whole (tiny) buffer was the header
+        header = buf.decode("utf-8").rstrip("\r").split("\t") if buf else []
+    return header, path
 
 
 def _term_sparql(v: Value | None) -> str:
@@ -102,25 +170,26 @@ def query_with_values(query: str, variables: Sequence[str], rows: Sequence[tuple
     return query[:close] + block + query[close:]
 
 
-def _paged_queries(
+def _paged_chunks(
     query: str, variables: Sequence[str], rows: Sequence[tuple]
-) -> list[str]:
-    """Page bindings into VALUES-restricted queries (reader.rs:99-135):
-    at most MAX_BINDINGS_PER_PAGE bindings and QUERY_PAGE_CHAR_LIMIT chars
-    per query; oversized pages split in half recursively."""
-    if not rows:
-        return [query]
+) -> list[list[tuple]]:
+    """Page binding ROWS into chunks whose rendered VALUES query fits the
+    limits (reader.rs:99-135): at most MAX_BINDINGS_PER_PAGE bindings and
+    QUERY_PAGE_CHAR_LIMIT chars per query; oversized chunks split in half
+    recursively. Structured rows (not query strings) are the paging unit so
+    the HTTP-413 retry path can re-split them exactly — never by re-parsing
+    serialized query text."""
 
-    def build(chunk: Sequence[tuple]) -> list[str]:
+    def build(chunk: list[tuple]) -> list[list[tuple]]:
         q = query_with_values(query, variables, chunk)
         if len(q) < QUERY_PAGE_CHAR_LIMIT or len(chunk) == 1:
-            return [q]
+            return [chunk]
         mid = (len(chunk) + 1) // 2
         return build(chunk[:mid]) + build(chunk[mid:])
 
-    out: list[str] = []
+    out: list[list[tuple]] = []
     for start in range(0, len(rows), MAX_BINDINGS_PER_PAGE):
-        out.extend(build(rows[start : start + MAX_BINDINGS_PER_PAGE]))
+        out.extend(build(list(rows[start : start + MAX_BINDINGS_PER_PAGE])))
     return out
 
 
@@ -139,44 +208,39 @@ def read_sparql_typed(
     ``bindings=(variables, rows)`` restricts the query server-side via paged
     VALUES injection — the reader-side half of nemo's binding-pushdown
     imports (join_imports_simple.rs); rows are tuples of :class:`Value`.
-    Pages are fetched with bounded concurrency; an HTTP 413 halves the
-    failing page and retries (reader.rs:112-131).
+    Pages are fetched with bounded concurrency, streamed to staging files
+    (bounded driver memory, see :func:`_staging_dir`); an HTTP 413 splits
+    the failing page's binding rows in half and retries (reader.rs:112-131).
     """
-    queries = (
-        _paged_queries(query, bindings[0], list(bindings[1])) if bindings else [query]
-    )
+    chunks: list[list[tuple] | None] = (
+        list(_paged_chunks(query, bindings[0], list(bindings[1]))) if bindings else []
+    ) or [None]
+    dest = _staging_dir()
 
-    header: list[str] = []
-
-    def fetch_page(q: str) -> list[str]:
-        """Rows of one page, header stripped (ignore_headers=true per page,
-        reader.rs:166); recurses on HTTP 413 with a halved VALUES block."""
+    def fetch_page(chunk: list[tuple] | None) -> list[tuple[list[str], str]]:
+        """(header, staged file) per exchange; each fetch derives its own
+        header — no shared mutable state across pool threads. Recurses on
+        HTTP 413 with the chunk's actual rows split in half."""
+        q = query if chunk is None else query_with_values(query, bindings[0], chunk)
         try:
-            body = fetch_sparql_tsv(endpoint, q, timeout)
+            return [fetch_sparql_to_file(endpoint, q, dest, timeout)]
         except urllib.error.HTTPError as e:
-            if e.code != 413 or not bindings:
+            if e.code != 413 or chunk is None or len(chunk) <= 1:
                 raise
-            sub = _split_values_query(query, bindings[0], q)
-            if sub is None:
-                raise
-            return [line for part in sub for line in fetch_page(part)]
-        page = body.splitlines()
-        if page and not header:
-            header.extend(page[0].split("\t"))
-        return page[1:]
+            mid = (len(chunk) + 1) // 2
+            return fetch_page(chunk[:mid]) + fetch_page(chunk[mid:])
 
-    if len(queries) == 1:
-        pages = [fetch_page(queries[0])]
+    if len(chunks) == 1:
+        results = fetch_page(chunks[0])
     else:
         with ThreadPoolExecutor(max_workers=max_concurrent_requests) as ex:
-            pages = list(ex.map(fetch_page, queries))
+            results = [r for part in ex.map(fetch_page, chunks) for r in part]
 
-    lines: list[str] = []
-    for page in pages:
-        lines.extend(page)
+    header = next((h for h, _ in results if h), [])
+    paths = [p for _, p in results]
     arity = max(len(header), 1)
     fmts = formats or ["anything"] * arity
-    return _tsv_lines_to_typed(spark, lines, fmts)
+    return _tsv_files_to_typed(spark, paths, fmts)
 
 
 def sparql_deferred_loader(
@@ -218,39 +282,16 @@ def sparql_deferred_loader(
     return loader
 
 
-def _split_values_query(
-    base_query: str, variables: Sequence[str], failing: str
-) -> list[str] | None:
-    """Rebuild the failing page's VALUES rows and split them in half."""
-    import re
-
-    m = re.search(r"VALUES \([^)]*\) \{ (.*) \} ", failing, re.DOTALL)
-    if not m:
-        return None
-    rows = re.findall(r"\(([^()]*)\)", m.group(1))
-    if len(rows) <= 1:
-        return None
-    mid = (len(rows) + 1) // 2
-
-    def rebuild(chunk: list[str]) -> str:
-        var_list = " ".join(f"?{v}" for v in variables)
-        block = f" VALUES ({var_list}) {{ {' '.join('(' + r + ')' for r in chunk)} }} "
-        close = base_query.rfind("}")
-        return base_query[:close] + block + base_query[close:]
-
-    return [rebuild(rows[:mid]), rebuild(rows[mid:])]
-
-
-def _tsv_lines_to_typed(
-    spark: SparkSession, lines: list[str], formats: list[str]
+def _tsv_files_to_typed(
+    spark: SparkSession, paths: list[str], formats: list[str]
 ) -> DataFrame:
-    """Distribute raw SPARQL-TSV result lines and decode them with the DSV
-    cell parsers (quoting=false, tab delimiter — reader.rs:160-168)."""
+    """Read staged SPARQL-TSV result pages distributed and decode them with
+    the DSV cell parsers (quoting=false, tab delimiter — reader.rs:160-168)."""
     keep = [i for i, f in enumerate(formats) if f != "skip"]
     parsers = [(_PARSERS[formats[i]], i) for i in keep]
     total = len(formats)
     out_schema = ", ".join(f"c{j} {VALUE_SCHEMA}" for j in range(max(len(keep), 1)))
-    src = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    src = spark.read.text(paths)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

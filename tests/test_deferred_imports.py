@@ -218,3 +218,45 @@ def test_deferred_pred_cannot_be_idb_head(spark):
     prog = Program(rules=[Rule(head=Atom("imp", X, Y), body=[Atom("imp", X, Y)])])
     with pytest.raises(ValueError, match="deferred import"):
         eng.run(prog)
+
+
+def test_deferred_conflicts_rejected(spark):
+    """ADVICE r3: a predicate that is both a deferred import AND a plain
+    table / inline-fact source must be rejected loudly — previously the
+    loader's rows silently vanished (rule eval checks _tables first)."""
+    import pytest
+
+    frame = _edges(spark).toDF("c0", "c1")
+
+    # register() over an existing deferred import
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng.register_deferred("imp", semi_join_loader(frame), 2)
+    with pytest.raises(ValueError, match="deferred"):
+        eng.register("imp", frame)
+
+    # register_deferred() over an existing table
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng.register("imp", frame)
+    with pytest.raises(ValueError, match="registered table"):
+        eng.register_deferred("imp", semi_join_loader(frame), 2)
+
+    # inline facts for a deferred predicate, caught at run()
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng.register_deferred("imp", semi_join_loader(frame), 2)
+    prog = Program(
+        rules=[Rule(head=Atom("out", X, Y), body=[Atom("imp", X, Y)])],
+        facts={"imp": [(1, 2)]},
+    )
+    with pytest.raises(ValueError, match="inline facts"):
+        eng.run(prog)
+
+
+def test_deferred_full_load_then_register_ok(spark):
+    """After a full load the predicate IS a plain table: re-registering it
+    (or re-running) must not trip the conflict guard."""
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    frame = _edges(spark).toDF("c0", "c1")
+    eng.register_deferred("imp", semi_join_loader(frame), 2)
+    full = eng.table("imp")  # forces the full load
+    assert full.count() == 22
+    eng.register("imp", frame)  # no raise: deferred status consumed

@@ -149,6 +149,59 @@ def test_sparql_413_halves_page(spark, endpoint):
     assert len(_Endpoint.seen) > 3
 
 
+def test_sparql_413_split_preserves_paren_bindings(spark, endpoint):
+    """ADVICE r3: the 413 retry must re-split the page's STRUCTURED binding
+    rows, not regex-reparse the query text — IRIs containing '(' / ')'
+    previously mis-split into garbled sub-queries."""
+    from nemo_spark.sources.sparql import read_sparql_typed
+
+    _Endpoint.store = _ROWS + [
+        "<http://ex/f(1)>\t<http://ex/knows>\t<http://ex/g(2,3)>",
+        "<http://ex/g(2,3)>\t<http://ex/knows>\t<http://ex/a>",
+    ]
+    try:
+        _Endpoint.max_values = 1  # any page with >1 VALUES rows gets 413
+        bindings = (
+            ["s"],
+            [
+                (Value.iri("http://ex/f(1)"),),
+                (Value.iri("http://ex/g(2,3)"),),
+                (Value.iri("http://ex/a"),),
+            ],
+        )
+        df = read_sparql_typed(spark, endpoint, bindings=bindings)
+        got = _vals(df)
+        assert len(got) == 4  # f(1):1 + g(2,3):1 + a:2
+        assert ("<http://ex/f(1)>", "<http://ex/knows>", "<http://ex/g(2,3)>") in got
+    finally:
+        _Endpoint.store = _ROWS
+
+
+def test_sparql_large_result_streams_to_staging_files(spark, endpoint):
+    """A multi-chunk response is staged to disk while streaming (driver
+    memory O(chunk)) and parsed distributed via spark.read.text."""
+    import glob
+    import os
+
+    import nemo_spark.sources.sparql as sp
+
+    n = 60_000  # ~3.5 MB body, > _CHUNK so the streaming loop iterates
+    _Endpoint.store = [
+        f"<http://ex/s{i}>\t<http://ex/p>\t{i}" for i in range(n)
+    ]
+    try:
+        before = len(sp._staging_dirs)
+        df = sp.read_sparql_typed(spark, endpoint)
+        assert df.count() == n
+        staged = [
+            f for d in sp._staging_dirs[before:] for f in glob.glob(os.path.join(d, "*.tsv"))
+        ]
+        assert staged, "result was not staged to files"
+        assert sum(os.path.getsize(f) for f in staged) > sp._CHUNK
+    finally:
+        _Endpoint.store = _ROWS
+
+
 def test_sparql_rls_program(spark, endpoint, tmp_path):
     """@import ... sparql end-to-end: import, join in a rule, serialize."""
     from nemo_spark.parser.runner import RlsRunner
