@@ -19,9 +19,10 @@ LCS and restricted-chase suites) use. Rules with Catalyst expression
 callables (filters/assignments) are NOT supported here; strata containing
 them stay distributed.
 
-Value cells are carried as the typed-struct tuples (t, i, d, s) — Python
-tuple ordering equals the struct ordering, so #min/#max agree with the
-distributed path exactly.
+Value cells are carried as the typed-struct tuples (t, i, d, s); #min/#max
+over typed cells key on Value.order_key() — nemo's total order with
+element-wise tuple/map comparison — matching the distributed path's
+sort-key aggregation exactly.
 """
 
 from __future__ import annotations
@@ -244,7 +245,13 @@ class LocalFixpoint:
             n = len(vals)
             return Value.int(n).as_row() if self.typed else n
         if op in ("min", "max"):
-            return (min if op == "min" else max)(vals)
+            pick = min if op == "min" else max
+            if self.typed:
+                # nemo's total order (element-wise inside tuples/maps), not
+                # the raw struct-tuple order — matches the distributed
+                # path's sort_key_bytes-keyed min_by/max_by
+                return pick(vals, key=lambda v: Value(*v).order_key())
+            return pick(vals)
         # sum
         if self.typed:
             from nemo_spark.model.values import T_DOUBLE, T_FLOAT, T_INT

@@ -118,6 +118,12 @@ class SemiNaiveEngine:
         self.bucket_history = bucket_history
         self.bucket_history_threshold = bucket_history_threshold
         self._history_tables: dict[str, str] = {}
+        # unique per-engine id for managed-table names: id(self) was reusable
+        # after GC (a new engine could clobber a table whose DataFrames were
+        # still referenced); a uuid cannot collide across engine lifetimes
+        import uuid as _uuid
+
+        self._uid = _uuid.uuid4().hex[:12]
         # local_stratum_threshold > 0: strata whose every input table is below
         # the threshold evaluate in ONE in-memory pass (engine/local_fixpoint)
         # instead of one Spark barrier per semi-naive round — the fix for
@@ -136,11 +142,16 @@ class SemiNaiveEngine:
         self.semi_join_reduction = semi_join_reduction
         # semi_join_reduction_shuffle: by default only broadcastable atoms
         # serve as reducers (the semi-join is then shuffle-free on the big
-        # side). Opt-in, this allows SHUFFLED left-semi reducers too — the
-        # all-big cyclic case (triangles over one huge relation), where the
-        # reference's WCOJ bounds intermediates and binary joins cannot;
-        # each shuffled semi-join costs one exchange of the reduced atom but
-        # caps the join intermediate at the (much smaller) reduced size.
+        # side) — EXCEPT for the all-big cyclic case (triangles over huge
+        # relations, the query class the reference's WCOJ exists for,
+        # nemo-physical/src/tabular/operations/join.rs:196), where shuffled
+        # left-semi reducers AUTO-ENGAGE: a body with >= 2 atoms above the
+        # broadcast threshold whose hypergraph is cyclic (GYO-irreducible)
+        # would otherwise build binary-join intermediates larger than the
+        # output. Each shuffled semi-join costs one exchange of the reduced
+        # atom but caps the join intermediate at the (much smaller) reduced
+        # size. Setting the flag True forces shuffled reducers for EVERY
+        # reduced body, cyclic or not.
         self.semi_join_reduction_shuffle = semi_join_reduction_shuffle
         if chase not in ("restricted", "skolem"):
             raise ValueError(f"unknown chase variant: {chase}")
@@ -171,6 +182,28 @@ class SemiNaiveEngine:
         self.stats = EngineStats()
 
     # ------------------------------------------------------------------ setup
+
+    def close(self) -> None:
+        """Drop this engine's managed state (bucketed history tables).
+
+        History tables are part of the engine's working set, not its output:
+        leaving them would accumulate warehouse garbage across a long-lived
+        session. Each accumulated table is checkpointed in-memory before its
+        files drop, so ``table()`` keeps answering after close; DataFrames
+        handed out BEFORE close still reference the dropped files — re-fetch
+        them via ``table()``. Idempotent; also runs on context exit
+        (``with SemiNaiveEngine(spark) as eng: ...``)."""
+        for pred, tbl in list(self._history_tables.items()):
+            if pred in self._tables:
+                self._tables[pred] = self._tables[pred].localCheckpoint(eager=True)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        self._history_tables.clear()
+
+    def __enter__(self) -> "SemiNaiveEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def register(self, pred: str, df: DataFrame) -> None:
         """Register an EDB table; columns are positional (renamed c0..cn-1)."""
@@ -364,8 +397,17 @@ class SemiNaiveEngine:
 
     # -------------------------------------------------------------------- run
 
-    def run(self, program: Program) -> EngineStats:
+    def run(self, program: Program, outputs: set[str] | None = None) -> EngineStats:
+        """Evaluate to fixpoint. ``outputs`` (or ``program.outputs`` when not
+        given) triggers dead-rule pruning: rules from which no output
+        predicate is backward-reachable are never evaluated — their strata
+        produce zero rounds (active.rs parity). No outputs = everything is
+        an output (set_default_outputs.rs); arity checks still cover the
+        FULL program so a pruned-away inconsistency is not silently
+        accepted."""
         arities = program.predicates()
+        targets = set(outputs) if outputs is not None else set(program.outputs)
+        program = program.pruned(targets)
         for p, n in arities.items():
             if p in self._arity and self._arity[p] != n:
                 raise ValueError(f"predicate {p}: registered arity {self._arity[p]} != program arity {n}")
@@ -680,6 +722,20 @@ class SemiNaiveEngine:
             if a.pred not in self._deferred or a.pred in self._tables
         ]
         order = eager + [i for i in range(len(rule.body)) if i not in set(eager)]
+        # shuffled reducers: forced by the flag, or auto-engaged for the
+        # all-big cyclic body (see __init__) — the decision is per rule
+        # application so it tracks the tables' current sizes
+        reduce_shuffle = self.semi_join_reduction_shuffle or (
+            bool(self.semi_join_reduction)
+            and len(rule.body) >= 3
+            and sum(
+                1
+                for a in rule.body
+                if self._table_counts.get(a.pred, 0) > self.broadcast_threshold
+            )
+            >= 2
+            and _body_is_cyclic(rule.body)
+        )
         for pos, i in enumerate(order):
             atom = rule.body[i]
             if use_delta_atom is not None and i == use_delta_atom:
@@ -709,7 +765,9 @@ class SemiNaiveEngine:
                 and atom.pred in self._tables
                 and self._table_counts.get(atom.pred, 0) > self.semi_join_reduction
             ):
-                adf = self._reduce_atom(rule, i, adf, delta, delta_counts, use_delta_atom)
+                adf = self._reduce_atom(
+                    rule, i, adf, delta, delta_counts, use_delta_atom, reduce_shuffle
+                )
             if bound is None:
                 bound, bound_vars = adf, [v.name for v in _uniq(atom.variables())]
             else:
@@ -833,6 +891,7 @@ class SemiNaiveEngine:
         delta: dict[str, DataFrame],
         delta_counts: dict[str, int],
         use_delta_atom: int | None,
+        allow_shuffle: bool = False,
     ) -> DataFrame:
         """Yannakakis-style semi-join reduction of one large body atom (see
         ``semi_join_reduction`` in ``__init__``): semi-join its frame by the
@@ -857,7 +916,7 @@ class SemiNaiveEngine:
             else:
                 continue
             broadcastable = ocnt <= self.broadcast_threshold
-            if not broadcastable and not self.semi_join_reduction_shuffle:
+            if not broadcastable and not allow_shuffle:
                 continue  # default: only cheap (broadcastable) reducers
             shared = [v.name for v in _uniq(other.variables()) if v.name in my_vars]
             if not shared:
@@ -1005,18 +1064,21 @@ class SemiNaiveEngine:
     def _project_aggregate_typed(
         self, deduped: DataFrame, head: Atom, aggregate: Aggregate, group_vars: list[str]
     ) -> DataFrame:
-        """Aggregation over typed value structs. min/max use the struct's
-        native ordering (= nemo's cross-domain AnyDataValue order, see
-        model/values.py); count wraps the row count as an integer value;
-        sum follows the numeric dispatch (all-int => i64, floats-only =>
-        f32, otherwise f64)."""
+        """Aggregation over typed value structs. min/max order by the
+        Arrow-computed ``Value.sort_key_bytes`` (nemo's cross-domain
+        AnyDataValue order WITH element-wise tuple/map comparison — the raw
+        struct ordering would sort tuples by canonical string) via
+        ``min_by``/``max_by``; count wraps the row count as an integer
+        value; sum follows the numeric dispatch (all-int => i64, floats-only
+        => f32, otherwise f64)."""
         from nemo_spark.functions import typed as TY
         from nemo_spark.model.values import T_DOUBLE, T_FLOAT, T_INT
 
         col = F.col(aggregate.var.name)
         agg_alias = "__agg__"
         if aggregate.op in ("min", "max"):
-            aggs = [_AGG_FN[aggregate.op](col).alias(agg_alias)]
+            by = F.min_by if aggregate.op == "min" else F.max_by
+            aggs = [by(col, _sort_key_udf()(col)).alias(agg_alias)]
             wrap = F.col(agg_alias)
         elif aggregate.op == "count":
             aggs = [F.count(col).alias(agg_alias)]
@@ -1118,14 +1180,14 @@ class SemiNaiveEngine:
             # threshold crossed mid-fixpoint: migrate accumulated history
             # into the bucketed layout (one write, amortized over every
             # remaining round's exchange-free anti-join)
-            tbl = f"nemo_hist_{id(self) % 10**8}_{_re.sub('[^A-Za-z0-9_]', '_', pred)}"
+            tbl = f"nemo_hist_{self._uid}_{_re.sub('[^A-Za-z0-9_]', '_', pred)}"
             self._tables[pred].write.bucketBy(
                 self.bucket_history, cols[0], *cols[1:]
             ).mode("overwrite").format("parquet").saveAsTable(tbl)
             self._history_tables[pred] = tbl
             self._tables[pred] = self.spark.table(tbl)
         if tbl is None:
-            tbl = f"nemo_hist_{id(self) % 10**8}_{_re.sub('[^A-Za-z0-9_]', '_', pred)}"
+            tbl = f"nemo_hist_{self._uid}_{_re.sub('[^A-Za-z0-9_]', '_', pred)}"
             fresh = derived.dropDuplicates().localCheckpoint(eager=False)
             cnt = fresh.count()
             self._schemas.setdefault(pred, fresh.schema)
@@ -1176,6 +1238,69 @@ class SemiNaiveEngine:
             return self.spark.createDataFrame([], self._schemas[pred])
         schema = ", ".join(f"c{i} string" for i in range(max(arity, 1)))
         return self.spark.createDataFrame([], schema)
+
+
+_SORT_KEY_UDF = None
+
+
+def _sort_key_udf():
+    """Arrow-batched pandas UDF: value struct -> order-preserving bytes
+    (``Value.sort_key_bytes``). Built lazily and cached; used only by the
+    typed #min/#max path (rls-program surface — data-pipeline aggregates
+    take the untyped Catalyst path)."""
+    global _SORT_KEY_UDF
+    if _SORT_KEY_UDF is None:
+        import pandas as pd
+
+        from nemo_spark.model.values import Value
+
+        def f(col):
+            if isinstance(col, pd.DataFrame):
+                return pd.Series(
+                    [
+                        Value(int(t), int(i), float(d), s).sort_key_bytes()
+                        for t, i, d, s in zip(col["t"], col["i"], col["d"], col["s"])
+                    ]
+                )
+            return pd.Series(
+                [
+                    None if v is None else Value(v["t"], v["i"], v["d"], v["s"]).sort_key_bytes()
+                    for v in col
+                ]
+            )
+
+        _SORT_KEY_UDF = F.pandas_udf(f, "binary")
+    return _SORT_KEY_UDF
+
+
+def _body_is_cyclic(atoms: list[Atom]) -> bool:
+    """Is the body's join hypergraph cyclic (not alpha-acyclic)?
+
+    GYO reduction: repeatedly (a) drop variables that occur in only one
+    hyperedge (ears' private variables) and (b) drop hyperedges contained
+    in another. The body is acyclic iff at most one non-empty edge remains.
+    Cyclic bodies (triangles and friends) are where binary join plans build
+    intermediates larger than the output — the case the reference handles
+    with its worst-case-optimal leapfrog join (join.rs:196) and we handle
+    with shuffled semi-join reducers."""
+    from collections import Counter
+
+    edges = [frozenset(v.name for v in a.variables()) for a in atoms]
+    edges = [e for e in edges if e]
+    while len(edges) > 1:
+        occurrences = Counter(v for e in edges for v in e)
+        pruned = [frozenset(v for v in e if occurrences[v] > 1) for e in edges]
+        pruned = [e for e in pruned if e]
+        if pruned != edges:
+            edges = pruned
+            continue
+        for i, e in enumerate(edges):
+            if any(i != j and e <= f for j, f in enumerate(edges)):
+                edges.pop(i)
+                break
+        else:
+            return True  # irreducible: no ear left to remove
+    return False
 
 
 def semi_join_loader(frame: DataFrame) -> Any:

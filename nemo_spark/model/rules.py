@@ -202,3 +202,44 @@ class Program:
 
     def idb_predicates(self) -> set[str]:
         return {h.pred for r in self.rules for h in r.heads()}
+
+    def required(self, targets: "set[str]") -> "tuple[set[str], list[int]]":
+        """Backward-reachable predicates and contributing rule indices from
+        the output/export ``targets`` (nemo's active-rule filtering,
+        ``rule_model/pipeline/transformations/active.rs``): a rule is
+        required iff some head predicate is required; its body predicates
+        (incl. negated) then become required, to fixpoint. Empty targets
+        mean every derived predicate is an output and nothing is pruned
+        (``set_default_outputs.rs``)."""
+        if not targets:
+            all_preds = set(self.predicates())
+            return all_preds, list(range(len(self.rules)))
+        preds = set(targets)
+        kept: set[int] = set()
+        changed = True
+        while changed:
+            changed = False
+            for idx, r in enumerate(self.rules):
+                if idx in kept:
+                    continue
+                if any(h.pred in preds for h in r.heads()):
+                    kept.add(idx)
+                    changed = True
+                    for a in r.body + r.negated:
+                        preds.add(a.pred)
+        return preds, sorted(kept)
+
+    def pruned(self, targets: "set[str]") -> "Program":
+        """This program with rules not contributing to ``targets`` removed
+        (inline facts are kept — materializing a fact table is cheap and
+        preserves ``table()`` for library users; the reference also drops
+        facts/imports of inactive predicates, which the runner mirrors for
+        imports where it actually saves I/O)."""
+        _, kept = self.required(targets)
+        if len(kept) == len(self.rules):
+            return self
+        return Program(
+            rules=[self.rules[i] for i in kept],
+            facts=self.facts,
+            outputs=self.outputs,
+        )

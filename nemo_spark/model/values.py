@@ -295,8 +295,168 @@ class Value:
             return self.other_pair()[0]
         raise ValueError_(f"unknown tag {self.t}")
 
+    # ------------------------------------------------------------- ordering
+
+    def structured_parts(self) -> "tuple[Value | None, list]":
+        """Parse a tuple/map payload back into ``(label, elements)`` /
+        ``(label, [(key, value), ...])`` — the inverse of :meth:`tuple_of` /
+        :meth:`map_of` over the canonical lexical form."""
+        if self.t not in (T_TUPLE, T_MAP):
+            raise ValueError_("not a structured value")
+        return _structured_parts(self.s, self.t == T_MAP)
+
+    def order_key(self):
+        """Python-comparable key realizing nemo's total order
+        (``AnyDataValue::cmp``, any_datavalue.rs:719): domain position
+        first; within tuples/maps, ELEMENT-WISE recursion (the derived
+        ``Ord`` of TupleDataValue/MapDataValue: label first, ``None`` before
+        ``Some``, then slice/BTreeMap lexicographic over element values) —
+        NOT the canonical-string order the raw struct encoding yields."""
+        t = self.t
+        if t in (T_INT, T_ULONG):
+            return (t, self.int_value())
+        if t in (T_FLOAT, T_DOUBLE):
+            return (t, self.d + 0.0)  # -0.0 normalizes to 0.0 (reference: Equal)
+        if t == T_BOOLEAN:
+            return (t, self.i)
+        if t in (T_STRING, T_IRI, T_NULL):
+            return (t, self.s)
+        if t == T_LANG:
+            return (t, self.lang_pair())  # derived Ord over (text, tag)
+        if t == T_OTHER:
+            return (t, self.other_pair())  # derived Ord over (lexical, dtype)
+        if t == T_TUPLE:
+            label, elems = self.structured_parts()
+            lk = (0, "") if label is None else (1, label.s)  # None < Some
+            return (t, lk, tuple(e.order_key() for e in elems))
+        if t == T_MAP:
+            label, pairs = self.structured_parts()
+            lk = (0, "") if label is None else (1, label.s)
+            return (t, lk, tuple((k.order_key(), v.order_key()) for k, v in pairs))
+        raise ValueError_(f"unknown tag {self.t}")
+
+    def sort_key_bytes(self) -> bytes:
+        """Order-preserving byte encoding of :meth:`order_key`: comparing
+        keys as unsigned byte strings (Spark ``BinaryType`` ordering) equals
+        comparing values in nemo's total order. Used by the typed #min/#max
+        aggregate (``min_by/max_by`` over this key) so tuple/map columns
+        order element-wise even distributed."""
+        t = self.t
+        head = bytes([t])
+        if t == T_INT:
+            return head + _struct.pack(">Q", self.i + (1 << 63))
+        if t == T_ULONG:
+            return head + _struct.pack(">Q", self.int_value() - (1 << 63))
+        if t in (T_FLOAT, T_DOUBLE):
+            bits = _struct.unpack(">Q", _struct.pack(">d", self.d + 0.0))[0]
+            bits = (~bits & ((1 << 64) - 1)) if bits >> 63 else (bits | (1 << 63))
+            return head + _struct.pack(">Q", bits)
+        if t == T_BOOLEAN:
+            return head + bytes([self.i])
+        if t in (T_STRING, T_IRI, T_NULL):
+            return head + _esc_key(self.s.encode("utf-8"))
+        if t == T_LANG:
+            text, tag = self.lang_pair()
+            return head + _esc_key(text.encode("utf-8")) + _esc_key(tag.encode("utf-8"))
+        if t == T_OTHER:
+            lex, dt = self.other_pair()
+            return head + _esc_key(lex.encode("utf-8")) + _esc_key(dt.encode("utf-8"))
+        if t in (T_TUPLE, T_MAP):
+            label, parts = self.structured_parts()
+            out = head + (b"\x00" if label is None else b"\x01" + _esc_key(label.s.encode("utf-8")))
+            if t == T_TUPLE:
+                for e in parts:
+                    out += _esc_key(e.sort_key_bytes())
+            else:
+                for k, v in parts:
+                    out += _esc_key(k.sort_key_bytes()) + _esc_key(v.sort_key_bytes())
+            return out
+        raise ValueError_(f"unknown tag {self.t}")
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"Value({self.canonical()})"
+
+
+# ------------------------------------------------- structured-order helpers
+
+
+def _esc_key(b: bytes) -> bytes:
+    """Order-preserving, prefix-free encoding of one variable-length key
+    segment: 0x00 -> 0x00 0xFF, terminated by 0x00 0x00 (the standard
+    composite-key escape; concatenated segments then compare like the
+    segment sequence)."""
+    return b.replace(b"\x00", b"\x00\xff") + b"\x00\x00"
+
+
+def _scan_term(s: str, i: int, stops: str) -> tuple[str, int]:
+    """Scan one canonical term from position ``i`` until a top-level stop
+    character; quoted strings (backslash escapes) and <IRIs> are opaque."""
+    start = i
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == '"':
+            i += 1
+            while i < n:
+                if s[i] == "\\":
+                    i += 2
+                    continue
+                if s[i] == '"':
+                    i += 1
+                    break
+                i += 1
+        elif c == "<":
+            while i < n and s[i] != ">":
+                i += 1
+            i += 1
+        elif c in stops:
+            break
+        else:
+            i += 1
+    return s[start:i], i
+
+
+def _parse_struct_elem(text: str) -> "Value":
+    """One tuple/map element from its canonical string; nested tuples/maps
+    (quoted literals typed nemo:tuple / nemo:map) reconstruct structurally."""
+    t = text.strip()
+    m = _LITERAL_RE.match(t)
+    if m and m.group("dt") in (NEMO_TUPLE, NEMO_MAP):
+        lex = unescape_string(m.group("lex"))
+        tag = T_TUPLE if m.group("dt") == NEMO_TUPLE else T_MAP
+        _, parts = _structured_parts(lex, tag == T_MAP)
+        return Value(tag, i=len(parts), s=lex)
+    return parse_canonical(t)
+
+
+def _structured_parts(s: str, is_map: bool) -> "tuple[Value | None, list]":
+    open_, close = ("{", "}") if is_map else ("(", ")")
+    label = None
+    i = 0
+    if s.startswith("<"):
+        j = s.index(">")
+        label = Value.iri(s[1:j])
+        i = j + 1
+    if i >= len(s) or s[i] != open_ or not s.endswith(close):
+        raise ValueError_(f"malformed structured payload: {s!r}")
+    body = s[i + 1 : -1]
+    parts: list = []
+    if not body:
+        return label, parts
+    i = 0
+    while True:
+        if is_map:
+            k, i = _scan_term(body, i, "=")
+            i += 1  # '='
+            v, i = _scan_term(body, i, ",")
+            parts.append((_parse_struct_elem(k), _parse_struct_elem(v)))
+        else:
+            e, i = _scan_term(body, i, ",")
+            parts.append(_parse_struct_elem(e))
+        if i >= len(body):
+            break
+        i += 1  # ','
+    return label, parts
 
 
 # ------------------------------------------------------------------ escaping

@@ -320,10 +320,22 @@ class RlsRunner:
             frames: dict[str, DataFrame] = {}
             deferred: set[str] = set()
             idb = self.compiled.program.idb_predicates()
+            # dead-rule/import pruning targets (active.rs / filter_imports.rs):
+            # @output and @export predicates; none declared = everything is
+            # an output and nothing prunes (set_default_outputs.rs)
+            targets = set(self.compiled.outputs) | {
+                exp.pred for exp in self.compiled.exports
+            }
+            required = self.compiled.program.required(targets)[0] if targets else None
             import_count: dict[str, int] = {}
             for imp in self.compiled.imports:
                 import_count[imp.pred] = import_count.get(imp.pred, 0) + 1
             for imp in self.compiled.imports:
+                if required is not None and imp.pred not in required:
+                    # the import feeds no rule reachable from any output:
+                    # never read the resource (reference drops the import
+                    # statement itself)
+                    continue
                 # SPARQL imports are the reference's deferred-import case
                 # (join_imports over a remote source): register them lazily
                 # so rule bodies restrict them via pushed VALUES instead of
@@ -364,12 +376,22 @@ class RlsRunner:
             for pred, n in arities.items():
                 if pred not in frames and pred not in deferred and pred not in idb:
                     self.engine.register(pred, empty_typed_df(self.spark, n))
-            self.engine.run(self.compiled.program)
+            self.engine.run(self.compiled.program, outputs=targets or None)
         self._ran = True
         return self
 
     def table(self, pred: str) -> DataFrame:
         return self.engine.table(pred)
+
+    def close(self) -> None:
+        """Drop the engine's managed state (bucketed history tables)."""
+        self.engine.close()
+
+    def __enter__(self) -> "RlsRunner":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def export_frames(self) -> dict[str, tuple[DataFrame, object]]:
         """{sanitized_name.ext: (typed DataFrame, ExportAST)} per @export."""

@@ -419,10 +419,10 @@ def test_local_fixpoint_overflow_falls_back_distributed(spark):
 
 
 def test_semi_join_reduction_shuffled_all_big(spark):
-    """Opt-in shuffled reducers (semi_join_reduction_shuffle=True): the
-    all-big cyclic case — every triangle atom is the same 'large' relation,
-    so no broadcastable reducer exists; shuffled left-semi reducers still
-    bound the intermediates, results identical to the unreduced plan."""
+    """Shuffled reducers AUTO-ENGAGE (no opt-in flag) for the all-big
+    cyclic case — every triangle atom is the same 'large' relation, so no
+    broadcastable reducer exists; shuffled left-semi reducers still bound
+    the intermediates, results identical to the unreduced plan."""
     import random
 
     from nemo_spark.engine.seminaive import SemiNaiveEngine
@@ -436,12 +436,13 @@ def test_semi_join_reduction_shuffled_all_big(spark):
         body=[Atom("e", X, Y), Atom("e", Y, Z), Atom("e", Z, X)],
     )
 
-    def run(shuffle):
+    def run(reduce_):
         eng = SemiNaiveEngine(
             spark,
-            semi_join_reduction=1 if shuffle else 0,
-            semi_join_reduction_shuffle=shuffle,
-            broadcast_threshold=1,  # nothing is broadcastable: forces shuffled reducers
+            semi_join_reduction=1 if reduce_ else 0,
+            # note: semi_join_reduction_shuffle stays at its default (False);
+            # the cyclic-body auto-engage is what must allow shuffled reducers
+            broadcast_threshold=1,  # nothing is broadcastable
             local_stratum_threshold=0,
         )
         eng.register("e", spark.createDataFrame(edges, "a long, b long"))
@@ -455,3 +456,132 @@ def test_semi_join_reduction_shuffled_all_big(spark):
     parts = eng._eval_rule(rule, {}, {}, use_delta_atom=None)
     plan = parts["tri"]._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan
+
+
+def test_semi_join_reduction_shuffle_not_engaged_acyclic(spark):
+    """Auto-engaged shuffled reducers are scoped to CYCLIC bodies: an
+    acyclic 3-atom chain over all-big atoms must not pay per-atom semi-join
+    exchanges (binary joins already stream each side once along a tree)."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine, _body_is_cyclic
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    chain = Rule(
+        head=Atom("out", X, Z),
+        body=[Atom("e", X, Y), Atom("e", Y, Z), Atom("alive", Z)],
+    )
+    tri = Rule(
+        head=Atom("tri", X, Y, Z),
+        body=[Atom("e", X, Y), Atom("e", Y, Z), Atom("e", Z, X)],
+    )
+    assert not _body_is_cyclic(chain.body)
+    assert _body_is_cyclic(tri.body)
+
+    eng = SemiNaiveEngine(
+        spark,
+        semi_join_reduction=1,
+        broadcast_threshold=1,
+        local_stratum_threshold=0,
+    )
+    edges = [(i, i + 1) for i in range(40)]
+    eng.register("e", spark.createDataFrame(edges, "a long, b long"))
+    eng.register("alive", spark.createDataFrame([(i,) for i in range(0, 40, 2)], "a long"))
+    eng.run(Program(rules=[chain]))
+    assert eng.table("out").count() > 0
+    parts = eng._eval_rule(chain, {}, {}, use_delta_atom=None)
+    plan = parts["out"]._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan, plan
+
+
+def test_dead_rule_pruning(spark, tmp_path):
+    """Rules from which no @output/@export predicate is reachable are never
+    evaluated (active.rs); their imports are never read (filter_imports.rs).
+    Without outputs, everything still evaluates (set_default_outputs.rs)."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+    from nemo_spark.parser.runner import RlsRunner
+
+    X, Y = Var("x"), Var("y")
+    rules = [
+        Rule(head=Atom("wanted", X, Y), body=[Atom("e", X, Y)]),
+        Rule(head=Atom("junk", X, Y), body=[Atom("e", X, Y), Atom("e", Y, X)]),
+        Rule(head=Atom("junk2", X), body=[Atom("junk", X, X)]),
+    ]
+    edges = [(1, 2), (2, 1), (3, 3)]
+
+    # engine API: explicit outputs prune; no outputs evaluate everything
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng.register("e", spark.createDataFrame(edges, "a long, b long"))
+    stats = eng.run(Program(rules=rules), outputs={"wanted"})
+    labels = {m.rule for m in stats.per_rule}
+    assert not any("junk" in lbl for lbl in labels), labels
+    assert eng.table("wanted").count() == 3
+    assert eng.table("junk").count() == 0  # never derived
+
+    eng2 = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng2.register("e", spark.createDataFrame(edges, "a long, b long"))
+    eng2.run(Program(rules=rules))  # default outputs: nothing pruned
+    assert eng2.table("junk").count() == 3
+
+    # rls path: the dead rule's import resource is never read
+    missing = tmp_path / "never_read.csv"  # does NOT exist: load would fail
+    (tmp_path / "edge.csv").write_text("1,2\n2,1\n")
+    src = f'''
+@import edge :- csv{{resource="edge.csv", format=(int, int)}} .
+@import ghost :- csv{{resource="{missing}", format=(int, int)}} .
+wanted(?x, ?y) :- edge(?x, ?y) .
+junk(?x) :- ghost(?x, ?y) .
+@export wanted :- csv{{}} .
+'''
+    r = RlsRunner(spark, source=src, workdir=str(tmp_path)).run()
+    assert r.serialized("wanted").count() == 2
+    labels = {m.rule for m in r.engine.stats.per_rule}
+    assert not any("junk" in lbl for lbl in labels), labels
+
+
+def test_history_table_lifecycle_close(spark):
+    """uuid-named history tables; close() (or context exit) drops them,
+    already-obtained table() frames stay usable, and two sequential engines
+    in one session cannot collide."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("reach", X, Y), body=[Atom("edge", X, Y)]),
+            Rule(head=Atom("reach", X, Z), body=[Atom("reach", X, Y), Atom("edge", Y, Z)]),
+        ]
+    )
+    edges = [(i, i + 1) for i in range(6)]
+
+    def run_one():
+        eng = SemiNaiveEngine(
+            spark, bucket_history=4, bucket_history_threshold=0, local_stratum_threshold=0
+        )
+        eng.register("edge", spark.createDataFrame(edges, "a long, b long"))
+        eng.run(prog)
+        return eng
+
+    eng1, eng2 = run_one(), run_one()
+    t1, t2 = eng1.history_table_name("reach"), eng2.history_table_name("reach")
+    assert t1 and t2 and t1 != t2  # uuid names: no collision between engines
+    n = eng1.table("reach").count()
+
+    eng1.close()
+    assert eng1.history_table_name("reach") is None
+    assert not spark.catalog.tableExists(t1)
+    assert spark.catalog.tableExists(t2)  # the other engine is untouched
+    assert eng1.table("reach").count() == n  # table() keeps answering
+    eng1.close()  # idempotent
+
+    with eng2:
+        pass  # context exit closes
+    assert not spark.catalog.tableExists(t2)
+
+    # no engine-owned leftovers for these uids
+    leftovers = [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("nemo_hist_") and (eng1._uid in t.name or eng2._uid in t.name)
+    ]
+    assert leftovers == []

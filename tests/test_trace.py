@@ -77,3 +77,63 @@ def test_trace_tree_through_local_fixpoint(spark):
     assert trees[0] == trees[1_000_000]
     # no lumped label anywhere
     assert all(lbl != "local_fixpoint" for _, lbl in trees[1_000_000])
+
+
+def test_trace_graphml_and_json_serialization():
+    """GraphML + JSON-list-of-inferences serializers against a hand-built
+    tree (trace.rs to_graphml / ExecutionTraceListOfInferencesJSON parity:
+    fact nodes type=axiom, rule nodes type=DLRule, edges premise -> rule ->
+    conclusion; input facts annotated 'Asserted'; duplicates collapse)."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    from nemo_spark.engine.trace_export import trace_graphml, trace_inferences_json
+
+    leaf_e12 = {"fact": ("edge", (1, 2)), "rule": None, "premises": []}
+    leaf_e23 = {"fact": ("edge", (2, 3)), "rule": None, "premises": []}
+    base = {"fact": ("tc", (1, 2)), "rule": "base", "premises": [leaf_e12]}
+    tree = {"fact": ("tc", (1, 3)), "rule": "step", "premises": [base, leaf_e23]}
+
+    xml = trace_graphml(tree)
+    root = ET.fromstring(xml)  # well-formed
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    nodes = root.findall(f"{ns}graph/{ns}node")
+    edges = root.findall(f"{ns}graph/{ns}edge")
+    types = {}
+    elements = {}
+    for n in nodes:
+        for d in n.findall(f"{ns}data"):
+            if d.attrib["key"] == "type":
+                types[n.attrib["id"]] = d.text
+            else:
+                elements[n.attrib["id"]] = d.text
+    # 5 fact nodes (tc(1,3), tc(1,2), edge(1,2), edge(2,3)) + 2 rule nodes
+    assert sorted(types.values()).count("axiom") == 4
+    assert sorted(types.values()).count("DLRule") == 2
+    facts = {elements[i] for i, t in types.items() if t == "axiom"}
+    assert facts == {"tc(1, 3)", "tc(1, 2)", "edge(1, 2)", "edge(2, 3)"}
+    # every rule node has exactly one outgoing edge to its conclusion fact
+    # and incoming edges from its premises
+    rule_ids = {i for i, t in types.items() if t == "DLRule"}
+    out_edges = {e.attrib["source"]: e.attrib["target"] for e in edges if e.attrib["source"] in rule_ids}
+    assert len(out_edges) == 2
+    for rid, tgt in out_edges.items():
+        assert types[tgt] == "axiom"
+    # edge count: premise->rule (3: base<-e12, step<-tc12, step<-e23) + rule->fact (2)
+    assert len(edges) == 5
+
+    js = json.loads(trace_inferences_json(tree))
+    assert js["finalConclusion"] == ["tc(1, 3)"]
+    by_concl = {i["conclusion"]: i for i in js["inferences"]}
+    assert by_concl["tc(1, 3)"]["ruleName"] == "step"
+    assert by_concl["tc(1, 3)"]["premises"] == ["tc(1, 2)", "edge(2, 3)"]
+    assert by_concl["edge(1, 2)"]["rule"] == "Asserted"
+    assert "ruleName" not in by_concl["edge(1, 2)"]
+    assert len(js["inferences"]) == 4  # no duplicates
+
+    # typed values render canonically
+    from nemo_spark.model.values import Value
+
+    t2 = {"fact": ("p", (Value.iri("http://ex/a"), Value.string("hi"))), "rule": None, "premises": []}
+    js2 = json.loads(trace_inferences_json(t2))
+    assert js2["finalConclusion"] == ['p(<http://ex/a>, "hi")']

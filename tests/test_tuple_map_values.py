@@ -113,3 +113,84 @@ def test_nested_tuples(spark):
     inner = Value.tuple_of([Value.int(1)])
     outer = Value.tuple_of([inner, Value.int(2)])
     assert outer.lexical() == '("(1)"^^<nemo:tuple>,2)'
+
+
+def test_min_max_over_tuples_elementwise(spark):
+    """#min/#max over tuple values follow nemo's ELEMENT-WISE tuple order
+    (derived slice Ord over AnyDataValue), not the canonical-string order:
+    (2,9) < (2,10) even though "(2,10)" < "(2,9)" as strings. Verified
+    through the full .rls path on both the distributed and local engines."""
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = """
+p((2, 9)) .
+p((2, 10)) .
+p((1, 100)) .
+lo(#min(?x)) :- p(?x) .
+hi(#max(?x)) :- p(?x) .
+"""
+    for threshold in (0, 1_000_000):  # distributed vs local fixpoint
+        r = RlsRunner(
+            spark, source=src, workdir="/tmp", local_stratum_threshold=threshold
+        ).run()
+        assert [t[0] for t in r.serialized("lo").collect()] == ['"(1,100)"^^<nemo:tuple>']
+        assert [t[0] for t in r.serialized("hi").collect()] == ['"(2,10)"^^<nemo:tuple>']
+
+
+def test_min_max_random_value_sets_match_python_model(spark):
+    """Property check (seeded random, one Spark job per set): Spark #min /
+    #max over mixed scalar+tuple+map value sets equal the Python value
+    model's min/max under Value.order_key — on random sets including
+    nested/labeled tuples and maps."""
+    import random
+
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var, agg
+    from nemo_spark.model.values import Value
+    from nemo_spark.sources.dsv_typed import typed_rows_df
+
+    rng = random.Random(42)
+
+    def rand_value(depth=0):
+        kinds = ["int", "str", "iri", "double", "bool"]
+        if depth < 2:
+            kinds += ["tuple", "tuple", "ltuple", "map"]
+        k = rng.choice(kinds)
+        if k == "int":
+            return Value.int(rng.randrange(-50, 50))
+        if k == "str":
+            return Value.string(rng.choice(["a", "b", "ab", "z", ""]))
+        if k == "iri":
+            return Value.iri("http://ex/" + rng.choice("xyz"))
+        if k == "double":
+            return Value.double(rng.choice([-1.5, 0.0, 2.25, 99.0]))
+        if k == "bool":
+            return Value.boolean(rng.random() < 0.5)
+        if k == "map":
+            return Value.map_of(
+                [(rand_value(2), rand_value(2)) for _ in range(rng.randrange(3))]
+            )
+        label = Value.iri("f") if k == "ltuple" else None
+        return Value.tuple_of(
+            [rand_value(depth + 1) for _ in range(rng.randrange(4))], label=label
+        )
+
+    X = Var("x")
+    for trial in range(8):
+        vals = [rand_value() for _ in range(rng.randrange(2, 9))]
+        eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+        eng.register("p", typed_rows_df(spark, [(v,) for v in vals], 1))
+        eng.run(
+            Program(
+                rules=[
+                    Rule(Atom("lo", agg.min(X)), [Atom("p", X)]),
+                    Rule(Atom("hi", agg.max(X)), [Atom("p", X)]),
+                ]
+            )
+        )
+        want_lo = min(vals, key=lambda v: v.order_key()).as_row()
+        want_hi = max(vals, key=lambda v: v.order_key()).as_row()
+        got_lo = [tuple(r.c0) for r in eng.table("lo").collect()]
+        got_hi = [tuple(r.c0) for r in eng.table("hi").collect()]
+        assert got_lo == [want_lo], f"trial {trial}: {got_lo} != {want_lo}"
+        assert got_hi == [want_hi], f"trial {trial}: {got_hi} != {want_hi}"

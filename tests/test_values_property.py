@@ -156,3 +156,54 @@ def test_tuple_map_encoding_injective(elems, pairs):
     keys = [k.as_row() for k, _ in pairs]
     if len(set(keys)) == len(keys):
         assert m1 == m2
+
+
+# --------------------------------------------- nemo total order (order_key)
+
+_scalar_values = _values
+_structured_values = st.recursive(
+    _scalar_values,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=3).map(Value.tuple_of),
+        st.lists(st.tuples(inner, inner), max_size=3).map(Value.map_of),
+        st.tuples(st.lists(inner, max_size=2), _iris).map(
+            lambda t: Value.tuple_of(t[0], label=t[1])
+        ),
+    ),
+    max_leaves=6,
+)
+
+
+@given(st.lists(_structured_values, min_size=1, max_size=8))
+@settings(deadline=None, max_examples=200)
+def test_sort_key_bytes_realizes_order_key(vals):
+    """The byte encoding is order-isomorphic to the Python comparator —
+    the invariant the distributed min_by/max_by aggregation rests on."""
+    a = sorted(vals, key=lambda v: v.order_key())
+    b = sorted(vals, key=lambda v: v.sort_key_bytes())
+    assert [v.as_row() for v in a] == [v.as_row() for v in b]
+
+
+@given(_scalar_values, _scalar_values)
+@settings(deadline=None, max_examples=300)
+def test_order_key_matches_struct_order_on_scalars(a, b):
+    """For non-structured domains order_key agrees with the raw struct
+    (as_row) order — the ordering every pre-round-4 result was computed
+    under; only tuples/maps order differently (element-wise)."""
+    assert (a.order_key() < b.order_key()) == (a.as_row() < b.as_row())
+
+
+@given(st.lists(st.lists(_scalar_values, max_size=3).map(Value.tuple_of), min_size=2, max_size=6))
+@settings(deadline=None, max_examples=200)
+def test_tuple_order_is_elementwise(tuples):
+    """min/max over tuples follow nemo's derived slice Ord (label, then
+    element-wise AnyDataValue order), not canonical-string order."""
+
+    def ref_key(v):
+        label, elems = v.structured_parts()
+        lk = (0, "") if label is None else (1, label.s)
+        return (lk, tuple(e.order_key() for e in elems))
+
+    got = min(tuples, key=lambda v: v.order_key())
+    want = min(tuples, key=ref_key)
+    assert got.order_key() == want.order_key()
