@@ -736,8 +736,25 @@ class SemiNaiveEngine:
             >= 2
             and _body_is_cyclic(rule.body)
         )
+        merged_groups, merged_consumed = self._sparql_merge_groups(rule)
         for pos, i in enumerate(order):
             atom = rule.body[i]
+            if i in merged_consumed:
+                continue  # joined in by its merge-group leader below
+            if i in merged_groups:
+                # several SPARQL import atoms against one endpoint: ONE
+                # remote query whose pattern is the join of the originals
+                # (merge_sparql.rs); columns come back named by rule vars
+                mdf, mvars = self._merged_sparql_frame(
+                    [rule.body[j] for j in merged_groups[i]], bound, bound_vars
+                )
+                if bound is None:
+                    bound, bound_vars = mdf, list(mvars)
+                else:
+                    keys = [v for v in bound_vars if v in set(mvars)]
+                    bound = bound.join(mdf, on=keys, how="inner") if keys else bound.crossJoin(mdf)
+                    bound_vars = bound_vars + [v for v in mvars if v not in bound_vars]
+                continue
             if use_delta_atom is not None and i == use_delta_atom:
                 src = delta[atom.pred]
                 small = delta_counts.get(atom.pred, 0) <= self.broadcast_threshold
@@ -861,7 +878,17 @@ class SemiNaiveEngine:
             )
             salt_cols = [F.col(v) for v in frontier] or [F.lit(0)]
             label = rule.name or rule.head.pred
-            typed = _is_value_struct_df(bound)
+            # typed-null detection: a constant-only body binds NO columns, so
+            # probe the body's source tables too (a typed program must mint
+            # typed Nulls even when the witness frame carries no variables)
+            typed = _is_value_struct_df(bound) or (
+                not bound.columns
+                and any(
+                    _is_value_struct_df(self._tables[a.pred])
+                    for a in rule.body
+                    if a.pred in self._tables
+                )
+            )
             for ev in evars:
                 skolem = F.concat(
                     F.lit(f"{label}:{ev.name}:"), F.xxhash64(*salt_cols).cast("string")
@@ -926,6 +953,87 @@ class SemiNaiveEngine:
                 keys = F.broadcast(keys)
             adf = adf.join(keys, on=shared, how="left_semi")
         return adf
+
+    def _sparql_merge_groups(self, rule: Rule) -> tuple[dict[int, list[int]], set[int]]:
+        """Group this rule's positive deferred-SPARQL atoms by endpoint
+        (merge_sparql.rs eligibility: still deferred, default formats,
+        all-variable terms, merged query constructible). Returns
+        ({leader_index: [member indices]}, {consumed non-leader indices})."""
+        from nemo_spark.sources.sparql import merge_sparql_imports
+
+        by_endpoint: dict[str, list[int]] = {}
+        for i, a in enumerate(rule.body):
+            if a.pred not in self._deferred or a.pred in self._tables:
+                continue
+            info = getattr(self._deferred[a.pred], "sparql_info", None)
+            if (
+                info
+                and info.get("formats") is None
+                and all(isinstance(t, Var) for t in a.terms)
+            ):
+                by_endpoint.setdefault(info["endpoint"], []).append(i)
+        groups: dict[int, list[int]] = {}
+        consumed: set[int] = set()
+        for idxs in by_endpoint.values():
+            if len(idxs) < 2:
+                continue
+            specs = []
+            for j in idxs:
+                info = self._deferred[rule.body[j].pred].sparql_info
+                specs.append(
+                    (info["query"], info["variables"], [t.name for t in rule.body[j].terms])
+                )
+            if merge_sparql_imports(specs) is None:
+                continue  # unmergeable query shape: atoms load separately
+            groups[idxs[0]] = idxs
+            consumed.update(idxs[1:])
+        return groups, consumed
+
+    def _merged_sparql_frame(
+        self, atoms: list[Atom], bound: DataFrame | None, bound_vars: list[str],
+        max_pushdown_keys: int = 100_000,
+    ) -> tuple[DataFrame, list[str]]:
+        """Fetch one merged remote query for a merge group; columns renamed
+        to the rule variables. Binding-restricted loads (paged VALUES over
+        the variables shared with ``bound``) are per rule application;
+        unrestricted loads cache per (endpoint, query)."""
+        from nemo_spark.model.values import Value
+        from nemo_spark.sources.sparql import merge_sparql_imports, read_sparql_typed
+
+        specs, endpoint = [], None
+        for a in atoms:
+            info = self._deferred[a.pred].sparql_info
+            endpoint = info["endpoint"]
+            specs.append((info["query"], info["variables"], [t.name for t in a.terms]))
+        merged_q, out_names = merge_sparql_imports(specs)
+        bindings = None
+        if bound is not None:
+            shared = [v for v in bound_vars if v in set(out_names)]
+            if shared:
+                rows = bound.select(*shared).dropDuplicates().limit(max_pushdown_keys + 1).collect()
+                if not rows:
+                    # no bindings: the join result is empty — skip the fetch
+                    from nemo_spark.model.values import VALUE_SCHEMA
+
+                    schema = ", ".join(f"{v} {VALUE_SCHEMA}" for v in out_names)
+                    return self.spark.createDataFrame([], schema), out_names
+                if len(rows) <= max_pushdown_keys:
+                    vals = [
+                        tuple(Value(c["t"], c["i"], c["d"], c["s"]) for c in row)
+                        for row in rows
+                    ]
+                    bindings = (shared, vals)
+        if bindings is None:
+            cache = getattr(self, "_merged_sparql_cache", None)
+            if cache is None:
+                cache = self._merged_sparql_cache = {}
+            key = (endpoint, merged_q)
+            if key not in cache:
+                df = read_sparql_typed(self.spark, endpoint, merged_q)
+                cache[key] = df.toDF(*out_names).dropDuplicates().localCheckpoint(eager=True)
+            return cache[key], out_names
+        df = read_sparql_typed(self.spark, endpoint, merged_q, bindings=bindings)
+        return df.toDF(*out_names).dropDuplicates(), out_names
 
     def _deferred_frame(
         self, atom: Atom, bound: DataFrame | None, bound_vars: list[str]

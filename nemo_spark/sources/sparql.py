@@ -243,6 +243,50 @@ def read_sparql_typed(
     return _tsv_files_to_typed(spark, paths, fmts)
 
 
+def merge_sparql_imports(
+    specs: Sequence[tuple[str, Sequence[str], Sequence[str]]],
+) -> tuple[str, list[str]] | None:
+    """Merge several SPARQL SELECT queries used as import atoms of ONE rule
+    into a single conjunctive query (nemo's TransformationMergeSparql,
+    ``rule_model/pipeline/transformations/merge_sparql.rs``: positive import
+    clauses against the same endpoint merge into one clause whose pattern is
+    the Join of the originals).
+
+    ``specs`` — per import: (query text, projection variable names, rule
+    variable name per atom position). Each query's projection variables are
+    renamed to the rule's variable names (so variables shared between atoms
+    join SERVER-side); non-projected variables get import-scoped fresh names
+    to avoid capture. Returns ``(merged_query, output_variable_names)`` or
+    None when some query's shape cannot be merged (non-SELECT, duplicate
+    projection)."""
+    import re
+
+    bodies: list[str] = []
+    out_names: list[str] = []
+    for idx, (query, proj, terms) in enumerate(specs):
+        m = re.search(r"SELECT\s+(.*?)\s*WHERE\s*\{(.*)\}\s*$", query, re.IGNORECASE | re.DOTALL)
+        if m is None or len(proj) != len(terms) or len(set(proj)) != len(proj):
+            return None
+        rename = dict(zip(proj, terms))
+
+        def rn(mo, _idx=idx, _rename=rename):
+            v = mo.group(1)
+            return "?" + _rename.get(v, f"__m{_idx}_{v}")
+
+        bodies.append(re.sub(r"\?(\w+)", rn, m.group(2)).strip().rstrip(".").strip())
+        for av in terms:
+            if av not in out_names:
+                out_names.append(av)
+    merged = (
+        "SELECT "
+        + " ".join(f"?{v}" for v in out_names)
+        + " WHERE { "
+        + " . ".join(bodies)
+        + " . }"
+    )
+    return merged, out_names
+
+
 def sparql_deferred_loader(
     spark: SparkSession,
     endpoint: str,
@@ -279,6 +323,14 @@ def sparql_deferred_loader(
             spark, endpoint, query, formats=formats, bindings=(vars_, vals)
         )
 
+    # merge metadata: lets the engine coalesce several import atoms of one
+    # rule against the same endpoint into ONE remote query (merge_sparql.rs)
+    loader.sparql_info = {
+        "endpoint": endpoint,
+        "query": query,
+        "variables": list(variables),
+        "formats": formats,
+    }
     return loader
 
 

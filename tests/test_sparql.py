@@ -250,3 +250,163 @@ t(<http://ex/a>, "not-an-iri", <http://ex/b>) .
     assert len(rows) == 2  # the two literal-subject / literal-predicate rows dropped
     assert "lit" in {row[2][3] for row in rows}
     assert 42 in {row[2][1] for row in rows}
+
+
+def test_merge_sparql_imports_query_text():
+    """Textual merge: projection vars renamed to rule vars (shared names
+    join server-side), non-projected vars made import-local."""
+    from nemo_spark.sources.sparql import merge_sparql_imports
+
+    q1 = "SELECT ?a ?b WHERE { ?a <http://ex/knows> ?b . }"
+    q2 = "SELECT ?s ?o WHERE { ?s <http://ex/name> ?o }"
+    merged, names = merge_sparql_imports([(q1, ["a", "b"], ["x", "y"]), (q2, ["s", "o"], ["y", "n"])])
+    assert names == ["x", "y", "n"]
+    assert merged == (
+        "SELECT ?x ?y ?n WHERE { ?x <http://ex/knows> ?y . ?y <http://ex/name> ?n . }"
+    )
+    # non-projected variable gets an import-scoped fresh name
+    q3 = "SELECT ?s ?o WHERE { ?s ?hidden ?o }"
+    merged2, _ = merge_sparql_imports([(q1, ["a", "b"], ["x", "y"]), (q3, ["s", "o"], ["y", "z"])])
+    assert "?__m1_hidden" in merged2
+    # unmergeable shapes: duplicate projection / non-SELECT
+    assert merge_sparql_imports([(q1, ["a", "a"], ["x", "y"])]) is None
+    assert merge_sparql_imports([("ASK { ?s ?p ?o }", ["s"], ["x"])]) is None
+
+
+class _EvalEndpoint(BaseHTTPRequestHandler):
+    """Mock endpoint that EVALUATES simple conjunctive SELECT queries
+    (triple patterns joined over the store, optional trailing VALUES
+    restriction) — the surface merged queries need."""
+
+    store: list[tuple[str, str, str]] = []
+    seen: list[str] = []
+
+    def _eval(self, query: str) -> tuple[list[str], list[tuple]]:
+        import re
+
+        sel = re.search(r"SELECT\s+((?:\?\w+\s*)+)\s*WHERE\s*\{(.*)\}\s*$", query, re.DOTALL)
+        out_vars = re.findall(r"\?(\w+)", sel.group(1))
+        body = sel.group(2)
+        values_rows = None
+        mv = re.search(r"VALUES \(([?\w ]+)\) \{ (.*) \}\s*$", body, re.DOTALL)
+        if mv:
+            body = body[: mv.start()]
+            vvars = re.findall(r"\?(\w+)", mv.group(1))
+            rows = re.findall(r"\(((?:[^()\"<]|<[^>]*>|\"(?:[^\"\\]|\\.)*\")*)\)", mv.group(2))
+            term_re = r'<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?|\S+'
+            values_rows = (vvars, [tuple(re.findall(term_re, r)) for r in rows])
+        toks = re.findall(
+            r'\?\w+|<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?|\.', body
+        )
+        terms = [t for t in toks if t != "."]
+        patterns = [tuple(terms[i : i + 3]) for i in range(0, len(terms), 3)]
+
+        def unify(pattern, triple, binding):
+            b = dict(binding)
+            for pt, tt in zip(pattern, triple):
+                if pt.startswith("?"):
+                    v = pt[1:]
+                    if v in b and b[v] != tt:
+                        return None
+                    b[v] = tt
+                elif pt != tt:
+                    return None
+            return b
+
+        bindings = [{}]
+        for pat in patterns:
+            bindings = [
+                b2 for b in bindings for t in self.store if (b2 := unify(pat, t, b)) is not None
+            ]
+        if values_rows:
+            vvars, rows = values_rows
+            allowed = set(rows)
+            bindings = [
+                b for b in bindings if tuple(b.get(v, "UNDEF") for v in vvars) in allowed
+            ]
+        out, seen_rows = [], set()
+        for b in bindings:
+            row = tuple(b.get(v, "") for v in out_vars)
+            if row not in seen_rows:
+                seen_rows.add(row)
+                out.append(row)
+        return out_vars, out
+
+    def _answer(self, query: str) -> None:
+        type(self).seen.append(query)
+        out_vars, rows = self._eval(query)
+        body = "\n".join(
+            ["\t".join("?" + v for v in out_vars)] + ["\t".join(r) for r in rows]
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/tab-separated-values")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        q = urllib.parse.parse_qs(urllib.parse.urlsplit(self.path).query)
+        self._answer(q.get("query", [""])[0])
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        form = urllib.parse.parse_qs(self.rfile.read(length).decode())
+        self._answer(form.get("query", [""])[0])
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def eval_endpoint():
+    _EvalEndpoint.seen = []
+    _EvalEndpoint.store = [
+        ("<http://ex/a>", "<http://ex/knows>", "<http://ex/b>"),
+        ("<http://ex/b>", "<http://ex/knows>", "<http://ex/c>"),
+        ("<http://ex/b>", "<http://ex/name>", '"bob"'),
+        ("<http://ex/c>", "<http://ex/name>", '"carol"'),
+    ]
+    srv = HTTPServer(("127.0.0.1", 0), _EvalEndpoint)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+    srv.shutdown()
+
+
+def test_merge_sparql_single_remote_request(spark, eval_endpoint, tmp_path):
+    """Two SPARQL imports against one endpoint joined in one rule coalesce
+    into ONE remote query (merge_sparql.rs parity) with the join evaluated
+    server-side."""
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = f'''
+@import knows :- sparql{{endpoint="{eval_endpoint}", query="SELECT ?a ?b WHERE {{ ?a <http://ex/knows> ?b . }}"}} .
+@import label :- sparql{{endpoint="{eval_endpoint}", query="SELECT ?s ?o WHERE {{ ?s <http://ex/name> ?o . }}"}} .
+out(?x, ?n) :- knows(?x, ?y), label(?y, ?n) .
+@export out :- csv{{}} .
+'''
+    r = RlsRunner(spark, source=src, workdir=str(tmp_path)).run()
+    got = sorted(tuple(t) for t in r.serialized("out").collect())
+    assert got == [("http://ex/a", '"bob"'), ("http://ex/b", '"carol"')]
+    assert len(_EvalEndpoint.seen) == 1, _EvalEndpoint.seen
+    q = _EvalEndpoint.seen[0]
+    assert "<http://ex/knows>" in q and "<http://ex/name>" in q  # one joined query
+
+
+def test_merge_sparql_binding_pushdown(spark, eval_endpoint, tmp_path):
+    """A merged group below other body atoms still pushes the current
+    bindings server-side as a VALUES block over the shared variables."""
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = f'''
+seed(<http://ex/b>) .
+@import knows :- sparql{{endpoint="{eval_endpoint}", query="SELECT ?a ?b WHERE {{ ?a <http://ex/knows> ?b . }}"}} .
+@import label :- sparql{{endpoint="{eval_endpoint}", query="SELECT ?s ?o WHERE {{ ?s <http://ex/name> ?o . }}"}} .
+out(?x, ?n) :- seed(?x), knows(?x, ?y), label(?y, ?n) .
+@export out :- csv{{}} .
+'''
+    r = RlsRunner(spark, source=src, workdir=str(tmp_path)).run()
+    got = sorted(tuple(t) for t in r.serialized("out").collect())
+    assert got == [("http://ex/b", '"carol"')]
+    assert len(_EvalEndpoint.seen) == 1, _EvalEndpoint.seen
+    assert "VALUES (?x)" in _EvalEndpoint.seen[0]
