@@ -609,6 +609,34 @@ def compile_program(ast: ProgramAST) -> CompiledProgram:
         exports.append(exp)
 
     program = Program(rules=rules, facts={}, outputs=outputs)
+
+    # @declare arity validation (the reference's validate_arity includes
+    # declarations in the per-predicate arity consistency check,
+    # nemo/src/rule_model/programs.rs:208 via transformations/validate.rs:23)
+    declared: dict[str, int] = {}
+    for pred_raw, types in getattr(ast, "declares", []):
+        pred = resolver.pred(pred_raw)
+        if pred in declared and declared[pred] != len(types):
+            raise CompileError(
+                f"@declare {pred}: conflicting declared arities "
+                f"{declared[pred]} vs {len(types)}"
+            )
+        declared[pred] = len(types)
+    if declared:
+        used = program.predicates()
+        for pred, arity in declared.items():
+            if pred in used and used[pred] != arity:
+                raise CompileError(
+                    f"@declare {pred}: declared arity {arity} conflicts with "
+                    f"use at arity {used[pred]} (validate_arity)"
+                )
+            for row in fact_rows.get(pred, []):
+                if len(row) != arity:
+                    raise CompileError(
+                        f"@declare {pred}: declared arity {arity} conflicts "
+                        f"with fact of arity {len(row)}"
+                    )
+
     return CompiledProgram(
         program=program,
         imports=imports,

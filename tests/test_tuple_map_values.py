@@ -194,3 +194,29 @@ def test_min_max_random_value_sets_match_python_model(spark):
         got_hi = [tuple(r.c0) for r in eng.table("hi").collect()]
         assert got_lo == [want_lo], f"trial {trial}: {got_lo} != {want_lo}"
         assert got_hi == [want_hi], f"trial {trial}: {got_hi} != {want_hi}"
+
+
+def test_declare_arity_validation(spark):
+    """@declare participates in arity consistency checking (validate_arity,
+    programs.rs:208): a declared arity conflicting with a fact or rule use
+    is a compile error; a consistent declaration runs normally."""
+    import pytest
+
+    from nemo_spark.parser.compile import CompileError
+    from nemo_spark.parser.runner import RlsRunner
+
+    ok = """
+@declare p(int, int) .
+p(1, 2) .
+q(?x) :- p(?x, ?y) .
+"""
+    r = RlsRunner(spark, source=ok, workdir="/tmp").run()
+    assert r.table("q").count() == 1
+
+    bad_fact = '@declare p(int, int) .\np(1) .\n'
+    with pytest.raises(CompileError, match="arity"):
+        RlsRunner(spark, source=bad_fact, workdir="/tmp")
+
+    bad_use = '@declare p(int) .\nq(?x) :- p(?x, ?y) .\n'
+    with pytest.raises(CompileError, match="arity"):
+        RlsRunner(spark, source=bad_use, workdir="/tmp")
