@@ -603,6 +603,95 @@ def _rls_tuples_oracle_sql() -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(c0, c1)"
 
 
+def q_sparql_merged(spark: SparkSession, sf: str) -> DataFrame:
+    """merge_sparql parity (nemo/src/rule_model/pipeline/transformations/
+    merge_sparql.rs): THREE SPARQL imports against one endpoint, joined in
+    one rule, coalesce into ONE remote query whose pattern is the join of
+    the originals — the in-process endpoint evaluates the merged
+    conjunctive query over a triple store built from nation/region and
+    counts requests (more than one request fails the query loudly)."""
+    import re
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    nations = (
+        spark.read.parquet(f"{sf}/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    regions = spark.read.parquet(f"{sf}/region.parquet").select("r_regionkey", "r_name").collect()
+    store = []
+    for n in nations:
+        store.append((f"<http://ex/nation/{n.n_nationkey}>", "<http://ex/inRegion>", f"<http://ex/region/{n.n_regionkey}>"))
+        store.append((f"<http://ex/nation/{n.n_nationkey}>", "<http://ex/name>", f'"{n.n_name}"'))
+    for r in regions:
+        store.append((f"<http://ex/region/{r.r_regionkey}>", "<http://ex/rname>", f'"{r.r_name}"'))
+    requests = []
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            import urllib.parse
+
+            q = urllib.parse.parse_qs(urllib.parse.urlsplit(self.path).query).get("query", [""])[0]
+            requests.append(q)
+            sel = re.search(r"SELECT\s+((?:\?\w+\s*)+)\s*WHERE\s*\{(.*)\}\s*$", q, re.DOTALL)
+            out_vars = re.findall(r"\?(\w+)", sel.group(1))
+            toks = re.findall(r'\?\w+|<[^>]*>|"(?:[^"\\]|\\.)*"|\.', sel.group(2))
+            terms = [t for t in toks if t != "."]
+            patterns = [tuple(terms[i : i + 3]) for i in range(0, len(terms), 3)]
+            bindings = [{}]
+            for pat in patterns:
+                nxt = []
+                for b in bindings:
+                    for t in store:
+                        b2 = dict(b)
+                        ok = True
+                        for pt, tt in zip(pat, t):
+                            if pt.startswith("?"):
+                                if b2.setdefault(pt[1:], tt) != tt:
+                                    ok = False
+                                    break
+                            elif pt != tt:
+                                ok = False
+                                break
+                        if ok:
+                            nxt.append(b2)
+                bindings = nxt
+            rows = sorted({tuple(b.get(v, "") for v in out_vars) for b in bindings})
+            body = "\n".join(["\t".join("?" + v for v in out_vars)] + ["\t".join(r) for r in rows]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/tab-separated-values")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from nemo_spark.parser.runner import RlsRunner
+
+        ep = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+        src = f'''
+@import inr :- sparql{{endpoint="{ep}", query="SELECT ?n ?r WHERE {{ ?n <http://ex/inRegion> ?r . }}"}} .
+@import nn :- sparql{{endpoint="{ep}", query="SELECT ?n ?m WHERE {{ ?n <http://ex/name> ?m . }}"}} .
+@import rn :- sparql{{endpoint="{ep}", query="SELECT ?r ?m WHERE {{ ?r <http://ex/rname> ?m . }}"}} .
+out(?nm, ?rm) :- inr(?n, ?r), nn(?n, ?nm), rn(?r, ?rm) .
+@export out :- csv{{}} .
+'''
+        runner = RlsRunner(spark, source=src, workdir="/tmp").run()
+        out = runner.table("out").select(
+            F.col("c0.s").alias("n_name"), F.col("c1.s").alias("r_name")
+        ).localCheckpoint(eager=True)
+    finally:
+        srv.shutdown()
+    if len(requests) != 1:  # the merged import must be ONE remote exchange
+        raise AssertionError(f"expected 1 merged request, saw {len(requests)}")
+    return out
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -652,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_aggregate": q_rls_aggregate,
         "rls_datatypes": q_rls_datatypes,
         "sparql_import": q_sparql_import,
+        "sparql_merged": q_sparql_merged,
         "rls_tuples": q_rls_tuples,
     }
 
@@ -812,6 +902,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat('http://ex/nation/', CAST(n_nationkey AS VARCHAR)) AS nation_iri,
                    n_name
             FROM nation
+        """,
+        "sparql_merged": """
+            SELECT n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
         """,
         "kg_link_scored": _KG_LINK_SCORED_SQL,
         "knn_bucketed": _knn_bucketed_sql(),
