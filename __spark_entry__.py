@@ -692,6 +692,48 @@ out(?nm, ?rm) :- inr(?n, ?r), nn(?n, ?nm), rn(?r, ?rm) .
     return out
 
 
+def q_triangles_wcoj(spark: SparkSession, sf: str) -> DataFrame:
+    """Cyclic (triangle) conjunctive query through the engine with the
+    worst-case-join path FORCED: every atom counts as big
+    (broadcast_threshold=1) so the GYO-cyclic body auto-engages shuffled
+    semi-join reducers (the Spark answer to nemo's leapfrog WCOJ,
+    nemo-physical/src/tabular/operations/join.rs:196) — each atom is
+    semi-join-bounded by its neighbors' key sets before any binary join.
+    The deriving plan is asserted to contain the LeftSemi reducers; results
+    are oracled against DuckDB's 3-way self-join."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    o = _t(spark, sf, "orders")
+    e = (
+        o.select(
+            (F.col("o_custkey") % 13).cast("long").alias("a"),
+            (F.col("o_orderkey") % 13).cast("long").alias("b"),
+        )
+        .dropDuplicates()
+        .filter((F.col("a") * 5 + F.col("b") * 7) % 11 < 4)
+    )
+    eng = SemiNaiveEngine(
+        spark, broadcast_threshold=1, semi_join_reduction=1, local_stratum_threshold=0
+    )
+    eng.register("e", e)
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    tri = Rule(
+        head=Atom("tri", X, Y, Z),
+        body=[Atom("e", X, Y), Atom("e", Y, Z), Atom("e", Z, X)],
+    )
+    eng.run(Program(rules=[tri]))
+    plan = (
+        eng._eval_rule(tri, {}, {}, use_delta_atom=None)["tri"]
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    if "LeftSemi" not in plan:  # reducers must be ON by default for this shape
+        raise AssertionError("shuffled semi-join reducers did not engage")
+    return eng.table("tri").select(
+        F.col("c0").alias("x"), F.col("c1").alias("y"), F.col("c2").alias("z")
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -742,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_datatypes": q_rls_datatypes,
         "sparql_import": q_sparql_import,
         "sparql_merged": q_sparql_merged,
+        "triangles_wcoj": q_triangles_wcoj,
         "rls_tuples": q_rls_tuples,
     }
 
@@ -906,6 +949,18 @@ def oracle_sql() -> dict[str, str]:
         "sparql_merged": """
             SELECT n_name, r_name
             FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "triangles_wcoj": """
+            WITH e AS (
+                SELECT a, b FROM (
+                    SELECT DISTINCT o_custkey % 13 AS a, o_orderkey % 13 AS b
+                    FROM orders
+                ) WHERE (a * 5 + b * 7) % 11 < 4
+            )
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e2.b = e3.a AND e3.b = e1.a
         """,
         "kg_link_scored": _KG_LINK_SCORED_SQL,
         "knn_bucketed": _knn_bucketed_sql(),
