@@ -1029,8 +1029,12 @@ class SemiNaiveEngine:
                 cache = self._merged_sparql_cache = {}
             key = (endpoint, merged_q)
             if key not in cache:
+                from nemo_spark.sources.sparql import release_staging, staging_mark
+
+                mark = staging_mark()
                 df = read_sparql_typed(self.spark, endpoint, merged_q)
                 cache[key] = df.toDF(*out_names).dropDuplicates().localCheckpoint(eager=True)
+                release_staging(mark)
             return cache[key], out_names
         df = read_sparql_typed(self.spark, endpoint, merged_q, bindings=bindings)
         return df.toDF(*out_names).dropDuplicates(), out_names
@@ -1053,7 +1057,13 @@ class SemiNaiveEngine:
                     seen.add(t.name)
                     shared.append((i, t.name))
         if not shared:
+            from nemo_spark.sources.sparql import release_staging, staging_mark
+
+            mark = staging_mark()
             df = loader(None).localCheckpoint(eager=True)
+            # the full load is materialized: any SPARQL pages staged for it
+            # are dead weight from here on
+            release_staging(mark)
             self._tables[atom.pred] = df
             self._schemas.setdefault(atom.pred, df.schema)
             self._table_counts[atom.pred] = df.count()

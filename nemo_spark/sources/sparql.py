@@ -99,11 +99,28 @@ def _staging_dir() -> str:
     """Directory the staged TSV pages land in. Local temp by default; point
     ``NEMO_SPARK_SPARQL_STAGING`` at a DFS mount on a real cluster so the
     executors read the pages without driver involvement. Files must outlive
-    the (lazy) DataFrame, so cleanup is deferred to process exit."""
+    the (lazy) DataFrame, so cleanup is deferred to process exit — or to
+    :func:`release_staging` once a consumer has eagerly materialized."""
     base = os.environ.get("NEMO_SPARK_SPARQL_STAGING")
     d = tempfile.mkdtemp(prefix="nemo_sparql_", dir=base)
     _staging_dirs.append(d)
     return d
+
+
+def staging_mark() -> int:
+    """Marker for :func:`release_staging` (pair around an import that will
+    be eagerly materialized)."""
+    return len(_staging_dirs)
+
+
+def release_staging(mark: int) -> None:
+    """Delete staging dirs created since ``mark``. Call ONLY after every
+    DataFrame read from those pages has been eagerly materialized
+    (``localCheckpoint(eager=True)``) — lazy frames would re-scan the
+    deleted files. Driver-thread-sequential by contract (import loads run
+    on the driver's rule-evaluation thread)."""
+    while len(_staging_dirs) > mark:
+        shutil.rmtree(_staging_dirs.pop(), ignore_errors=True)
 
 
 def fetch_sparql_to_file(

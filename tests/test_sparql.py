@@ -410,3 +410,27 @@ out(?x, ?n) :- seed(?x), knows(?x, ?y), label(?y, ?n) .
     assert got == [("http://ex/b", '"carol"')]
     assert len(_EvalEndpoint.seen) == 1, _EvalEndpoint.seen
     assert "VALUES (?x)" in _EvalEndpoint.seen[0]
+
+
+def test_sparql_staging_released_after_full_load(spark, endpoint):
+    """A deferred SPARQL import's staged pages are deleted once the full
+    load is eagerly materialized (long-lived sessions must not accumulate
+    staging files for data that is already checkpointed)."""
+    import os
+
+    import nemo_spark.sources.sparql as sp
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng.register_deferred(
+        "triple",
+        sp.sparql_deferred_loader(
+            spark, endpoint, ["s", "p", "o"], "SELECT ?s ?p ?o WHERE { ?s ?p ?o }"
+        ),
+        3,
+    )
+    before = sp.staging_mark()
+    full = eng.table("triple")  # forces the eager full load
+    assert full.count() == 5
+    assert sp.staging_mark() == before  # dirs created by the load are gone
+    assert full.count() == 5  # checkpointed frame still answers
