@@ -91,6 +91,9 @@ class IcebergCheckpointStore:
         lineage.writeTo(f"{self.prefix}.lineage").append() if self.spark.catalog.tableExists(
             f"{self.prefix}.lineage"
         ) else lineage.writeTo(f"{self.prefix}.lineage").create()
+        snap_rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
         meta = {
             "name": name,
             "step": step,
@@ -98,6 +101,10 @@ class IcebergCheckpointStore:
             "wall_sec": time.time() - t0,
             "metrics": metrics or {},
             "ts": time.time(),
+            # literal step -> Iceberg snapshot id, so load(name, step)
+            # resolves historical steps exactly (steps are caller-chosen
+            # round indices — NOT 0-based consecutive ordinals)
+            "snapshot_id": snap_rows[0][0] if snap_rows else None,
         }
         meta_df = self.spark.createDataFrame(
             [(name, step, json.dumps(meta))], "name string, step int, meta string"
@@ -124,15 +131,13 @@ class IcebergCheckpointStore:
             return None
         if step is None or step == self.latest_step(name):
             return self.spark.table(tbl)
-        # historical step: resolve the Iceberg snapshot committed for it
-        # (steps replace the table, so step ordinals == snapshot ordinals)
-        snaps = (
-            self.spark.sql(f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at")
-            .collect()
-        )
-        if step < 0 or step >= len(snaps):
-            return None
-        return self.spark.read.option("snapshot-id", snaps[step][0]).table(tbl)
+        # historical step: resolve via the snapshot id recorded in the meta
+        # row at snapshot() time (steps are caller-chosen round indices, so
+        # positional indexing into the snapshot list would be wrong)
+        for m in self.metrics(name):
+            if m["step"] == step and m.get("snapshot_id") is not None:
+                return self.spark.read.option("snapshot-id", m["snapshot_id"]).table(tbl)
+        return None
 
     def lineage(self) -> DataFrame:
         return self.spark.table(f"{self.prefix}.lineage")

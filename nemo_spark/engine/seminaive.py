@@ -510,7 +510,10 @@ class SemiNaiveEngine:
             return
 
         # Round 0: full evaluation of every rule against current tables.
+        from nemo_spark.sources.sparql import release_staging, staging_mark
+
         round_idx = 0
+        mark = staging_mark()
         delta: dict[str, DataFrame] = {}
         delta_counts: dict[str, int] = {}
         new_any = False
@@ -533,6 +536,11 @@ class SemiNaiveEngine:
                     delta[hp] = delta[hp].unionByName(fresh) if hp in delta else fresh
                     delta_counts[hp] = delta_counts.get(hp, 0) + cnt
 
+        # round-0 results are all checkpoint-materialized by their merges:
+        # SPARQL pages staged for restricted per-application loads this
+        # round are dead weight (bounds staging growth in long fixpoints)
+        release_staging(mark)
+
         # Rounds 1..: semi-naive — only delta-reading variants of rules whose
         # body touches a predicate that changed last round. All variants with
         # the same head predicate are unioned and merged ONCE per round: one
@@ -552,8 +560,11 @@ class SemiNaiveEngine:
         delta_counts: dict[str, int],
         new_any: bool,
     ) -> None:
+        from nemo_spark.sources.sparql import release_staging, staging_mark
+
         while new_any and round_idx < self.max_rounds:
             round_idx += 1
+            mark = staging_mark()
             new_any = False
             per_pred: dict[str, DataFrame] = {}
             per_pred_rules: dict[str, list[str]] = {}
@@ -617,6 +628,9 @@ class SemiNaiveEngine:
                     next_delta[hp] = fresh
                     next_counts[hp] = cnt
             delta, delta_counts = next_delta, next_counts
+            # this round's merges materialized every frame that read staged
+            # SPARQL pages: release them (see _run_stratum round 0)
+            release_staging(mark)
             # checkpoint cadence: truncate plan lineage (nemo defrag analogue)
             if round_idx % self.checkpoint_every == 0:
                 for p in idb:
@@ -746,7 +760,7 @@ class SemiNaiveEngine:
                 # remote query whose pattern is the join of the originals
                 # (merge_sparql.rs); columns come back named by rule vars
                 mdf, mvars = self._merged_sparql_frame(
-                    [rule.body[j] for j in merged_groups[i]], bound, bound_vars
+                    *merged_groups[i], bound, bound_vars
                 )
                 if bound is None:
                     bound, bound_vars = mdf, list(mvars)
@@ -972,9 +986,9 @@ class SemiNaiveEngine:
                 and all(isinstance(t, Var) for t in a.terms)
             ):
                 by_endpoint.setdefault(info["endpoint"], []).append(i)
-        groups: dict[int, list[int]] = {}
+        groups: dict[int, tuple[str, str, list[str]]] = {}
         consumed: set[int] = set()
-        for idxs in by_endpoint.values():
+        for endpoint, idxs in by_endpoint.items():
             if len(idxs) < 2:
                 continue
             specs = []
@@ -983,29 +997,26 @@ class SemiNaiveEngine:
                 specs.append(
                     (info["query"], info["variables"], [t.name for t in rule.body[j].terms])
                 )
-            if merge_sparql_imports(specs) is None:
+            merged = merge_sparql_imports(specs)
+            if merged is None:
                 continue  # unmergeable query shape: atoms load separately
-            groups[idxs[0]] = idxs
+            groups[idxs[0]] = (endpoint, merged[0], merged[1])
             consumed.update(idxs[1:])
         return groups, consumed
 
     def _merged_sparql_frame(
-        self, atoms: list[Atom], bound: DataFrame | None, bound_vars: list[str],
+        self, endpoint: str, merged_q: str, out_names: list[str],
+        bound: DataFrame | None, bound_vars: list[str],
         max_pushdown_keys: int = 100_000,
     ) -> tuple[DataFrame, list[str]]:
-        """Fetch one merged remote query for a merge group; columns renamed
-        to the rule variables. Binding-restricted loads (paged VALUES over
-        the variables shared with ``bound``) are per rule application;
+        """Fetch one merged remote query for a merge group (precomputed by
+        :meth:`_sparql_merge_groups`); columns renamed to the rule
+        variables. Binding-restricted loads (paged VALUES over the
+        variables shared with ``bound``) are per rule application;
         unrestricted loads cache per (endpoint, query)."""
         from nemo_spark.model.values import Value
-        from nemo_spark.sources.sparql import merge_sparql_imports, read_sparql_typed
+        from nemo_spark.sources.sparql import read_sparql_typed
 
-        specs, endpoint = [], None
-        for a in atoms:
-            info = self._deferred[a.pred].sparql_info
-            endpoint = info["endpoint"]
-            specs.append((info["query"], info["variables"], [t.name for t in a.terms]))
-        merged_q, out_names = merge_sparql_imports(specs)
         bindings = None
         if bound is not None:
             shared = [v for v in bound_vars if v in set(out_names)]
@@ -1374,9 +1385,11 @@ def _sort_key_udf():
 
         def f(col):
             if isinstance(col, pd.DataFrame):
+                # a NULL struct cell arrives as NaN fields: emit a null key
+                # (min_by/max_by skip null ordering keys, matching min/max)
                 return pd.Series(
                     [
-                        Value(int(t), int(i), float(d), s).sort_key_bytes()
+                        None if pd.isna(t) else Value(int(t), int(i), float(d), s).sort_key_bytes()
                         for t, i, d, s in zip(col["t"], col["i"], col["d"], col["s"])
                     ]
                 )

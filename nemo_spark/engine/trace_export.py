@@ -4,9 +4,12 @@
 Reference parity (``nemo/src/execution/tracing/trace.rs``):
 
 - GraphML (trace.rs:31-48, :144-192, the Evonne integration format): the
-  tree becomes a DAG of fact nodes (``type=axiom``) and rule-application
+  tree becomes a graph of fact nodes (``type=axiom``) and rule-application
   nodes (``type=DLRule``), each carrying an ``element`` string; edges run
-  premise-fact -> rule-application -> conclusion-fact.
+  premise-fact -> rule-application -> conclusion-fact. As in the
+  reference's ``to_petgraph`` (one ``add_node`` per tree occurrence), a
+  fact appearing as a premise of several applications gets one node per
+  occurrence — the tree rendering, not the shared-storage DAG form.
 - JSON (trace.rs:231-339 ``ExecutionTraceListOfInferencesJSON``): an object
   ``{"finalConclusion": [...], "inferences": [{"rule", "ruleName"?,
   "conclusion", "premises"}]}`` with input facts carrying the ``Asserted``

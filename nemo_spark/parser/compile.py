@@ -614,8 +614,13 @@ def compile_program(ast: ProgramAST) -> CompiledProgram:
     # declarations in the per-predicate arity consistency check,
     # nemo/src/rule_model/programs.rs:208 via transformations/validate.rs:23)
     declared: dict[str, int] = {}
+    nullary_preds = {resolver.pred(p) for p in nullary_raw}
     for pred_raw, types in getattr(ast, "declares", []):
         pred = resolver.pred(pred_raw)
+        if len(types) == 0 and pred in nullary_preds:
+            # nullary predicates are physically rewritten to one unit column
+            # (_rewrite_nullary); a 0-arity declaration matches that use
+            continue
         if pred in declared and declared[pred] != len(types):
             raise CompileError(
                 f"@declare {pred}: conflicting declared arities "

@@ -484,7 +484,14 @@ def _flatten_values(df: DataFrame) -> DataFrame:
     for field in df.schema.fields:
         c = field.name
         if isinstance(field.dataType, StructType):
-            exprs.extend(df[c].getField(f).alias(f"{c}__{f}") for f in ("t", "i", "d", "s"))
+            exprs.append(df[c].getField("t").alias(f"{c}__t"))
+            # i travels as its exact decimal string: a batch containing any
+            # NULL cell would otherwise reach pandas as float64 and corrupt
+            # int64 magnitudes above 2^53 (Catalyst's bigint->string cast is
+            # exact; the serializer consumes the string directly)
+            exprs.append(df[c].getField("i").cast("string").alias(f"{c}__i"))
+            exprs.append(df[c].getField("d").alias(f"{c}__d"))
+            exprs.append(df[c].getField("s").alias(f"{c}__s"))
         else:
             exprs.append(df[c].cast("string").alias(f"{c}__raw"))
     return df.select(*exprs)
@@ -516,7 +523,7 @@ def _serialize_batches(cols):
                 null = t.isna()
                 m = (t == T_INT) & ~null
                 if m.any():
-                    res[m] = i[m].astype("int64").astype(str)
+                    res[m] = i[m]  # already the exact decimal string
                 m = (t == T_ULONG) & ~null
                 if m.any():
                     # u64 values wrapped to i64: unwrap in python ints
@@ -540,7 +547,7 @@ def _serialize_batches(cols):
                     res[rest] = [
                         Value(int(tt), int(ii), float(dd), ss).dsv_any()
                         for tt, ii, dd, ss in zip(t[rest], i[rest], d[rest], s[rest])
-                    ]
+                    ]  # ii is the exact decimal string; int() parses it
                 if null.any():
                     res[null] = None
                 out[c] = res

@@ -281,16 +281,15 @@ def merge_sparql_imports(
     bodies: list[str] = []
     out_names: list[str] = []
     for idx, (query, proj, terms) in enumerate(specs):
-        m = re.search(r"SELECT\s+(.*?)\s*WHERE\s*\{(.*)\}\s*$", query, re.IGNORECASE | re.DOTALL)
+        # anchored at ^: a PREFIX/BASE prologue would be silently dropped by
+        # the textual merge (the copied body still uses the prefixed names),
+        # so prologued queries are NOT mergeable — they load separately
+        m = re.match(r"\s*SELECT\s+(.*?)\s*WHERE\s*\{(.*)\}\s*$", query, re.IGNORECASE | re.DOTALL)
         if m is None or len(proj) != len(terms) or len(set(proj)) != len(proj):
             return None
         rename = dict(zip(proj, terms))
-
-        def rn(mo, _idx=idx, _rename=rename):
-            v = mo.group(1)
-            return "?" + _rename.get(v, f"__m{_idx}_{v}")
-
-        bodies.append(re.sub(r"\?(\w+)", rn, m.group(2)).strip().rstrip(".").strip())
+        body = _rename_query_vars(m.group(2), rename, idx).strip().rstrip(".").strip()
+        bodies.append(body)
         for av in terms:
             if av not in out_names:
                 out_names.append(av)
@@ -302,6 +301,49 @@ def merge_sparql_imports(
         + " . }"
     )
     return merged, out_names
+
+
+def _rename_query_vars(body: str, rename: dict, idx: int) -> str:
+    """Rename ``?var`` tokens in a group pattern, import-scoping non-renamed
+    ones — but ONLY outside <IRIs> and quoted literals, where a '?name'
+    sequence (URL query strings, literal text) must stay untouched."""
+    import re
+
+    out: list[str] = []
+    i, n = 0, len(body)
+    var_re = re.compile(r"\?(\w+)")
+    while i < n:
+        c = body[i]
+        if c == "<":
+            j = body.find(">", i)
+            j = n if j < 0 else j + 1
+            out.append(body[i:j])
+            i = j
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if body[j] == "\\":
+                    j += 2
+                    continue
+                if body[j] == '"':
+                    j += 1
+                    break
+                j += 1
+            out.append(body[i:j])
+            i = j
+        elif c == "?":
+            m = var_re.match(body, i)
+            if m:
+                v = m.group(1)
+                out.append("?" + rename.get(v, f"__m{idx}_{v}"))
+                i = m.end()
+            else:
+                out.append(c)
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def sparql_deferred_loader(
@@ -329,6 +371,12 @@ def sparql_deferred_loader(
             return read_sparql_typed(spark, endpoint, query, formats=formats)
         shared, keys = bindings
         rows = keys.limit(max_pushdown_keys + 1).collect()
+        if not rows:
+            # no binding keys: the restricted result is empty by definition —
+            # never fall through to an unrestricted whole-endpoint dump
+            n = len([f for f in (formats or []) if f != "skip"]) or len(variables)
+            schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(max(n, 1)))
+            return spark.createDataFrame([], schema)
         if len(rows) > max_pushdown_keys:
             full = read_sparql_typed(spark, endpoint, query, formats=formats)
             return semi_join_loader(full)(bindings)

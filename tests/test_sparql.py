@@ -434,3 +434,52 @@ def test_sparql_staging_released_after_full_load(spark, endpoint):
     assert full.count() == 5
     assert sp.staging_mark() == before  # dirs created by the load are gone
     assert full.count() == 5  # checkpointed frame still answers
+
+
+def test_merge_skips_prologued_queries(spark, eval_endpoint, tmp_path):
+    """A PREFIX/BASE prologue cannot survive the textual merge (the copied
+    body would keep prefixed names with the declarations dropped): such
+    imports load separately — correct results, one request each."""
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = f'''
+@import knows :- sparql{{endpoint="{eval_endpoint}", query="PREFIX ex: <http://ex/> SELECT ?a ?b WHERE {{ ?a <http://ex/knows> ?b . }}"}} .
+@import label :- sparql{{endpoint="{eval_endpoint}", query="SELECT ?s ?o WHERE {{ ?s <http://ex/name> ?o . }}"}} .
+out(?x, ?n) :- knows(?x, ?y), label(?y, ?n) .
+@export out :- csv{{}} .
+'''
+    r = RlsRunner(spark, source=src, workdir=str(tmp_path)).run()
+    got = sorted(tuple(t) for t in r.serialized("out").collect())
+    assert got == [("http://ex/a", '"bob"'), ("http://ex/b", '"carol"')]
+    assert len(_EvalEndpoint.seen) == 2, _EvalEndpoint.seen  # NOT merged
+
+
+def test_merge_rename_spares_iris_and_literals():
+    """?name sequences inside <IRIs> and quoted literals must not be
+    rewritten by the merge's variable renaming."""
+    from nemo_spark.sources.sparql import merge_sparql_imports
+
+    q1 = 'SELECT ?s ?o WHERE { ?s <http://ex/search?q=1&v=2> ?o . ?s <http://ex/p> "what?s up ?s" }'
+    q2 = "SELECT ?a ?b WHERE { ?a <http://ex/knows> ?b }"
+    merged, names = merge_sparql_imports(
+        [(q1, ["s", "o"], ["x", "y"]), (q2, ["a", "b"], ["y", "z"])]
+    )
+    assert "<http://ex/search?q=1&v=2>" in merged  # IRI untouched
+    assert '"what?s up ?s"' in merged  # literal untouched
+    assert "?x <http://ex/search" in merged  # the real variable renamed
+    assert names == ["x", "y", "z"]
+
+
+def test_deferred_empty_bindings_skip_fetch(spark, endpoint):
+    """Zero binding keys means an empty restricted result: the loader must
+    NOT fall through to an unrestricted whole-endpoint dump."""
+    from nemo_spark.sources.sparql import sparql_deferred_loader
+
+    loader = sparql_deferred_loader(
+        spark, endpoint, ["s", "p", "o"], "SELECT ?s ?p ?o WHERE { ?s ?p ?o }"
+    )
+    empty_keys = spark.createDataFrame([], "s struct<t:int,i:bigint,d:double,s:string>")
+    before = len(_Endpoint.seen)
+    out = loader(([(0, "s")], empty_keys))
+    assert out.count() == 0
+    assert len(_Endpoint.seen) == before  # no HTTP request issued

@@ -220,3 +220,38 @@ q(?x) :- p(?x, ?y) .
     bad_use = '@declare p(int) .\nq(?x) :- p(?x, ?y) .\n'
     with pytest.raises(CompileError, match="arity"):
         RlsRunner(spark, source=bad_use, workdir="/tmp")
+
+
+def test_declare_nullary_consistent(spark):
+    """A 0-arity declaration of a nullary predicate matches the unit-column
+    rewrite (must not be rejected as an arity conflict)."""
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = """
+@declare p() .
+p() .
+q(1) :- p() .
+"""
+    r = RlsRunner(spark, source=src, workdir="/tmp").run()
+    assert r.table("q").count() == 1
+
+
+def test_export_serialization_exact_ints_with_nulls(spark):
+    """Integers above 2^53 serialize exactly even when the batch contains
+    NULL value cells (the Arrow->pandas float64 conversion trap)."""
+    from nemo_spark.parser.runner import _flatten_values, _serialize_batches
+    from nemo_spark.model.values import Value
+
+    big = 9007199254740993  # 2^53 + 1: float64 would round it
+    rows = [
+        (Value.int(big).as_row(),),
+        (None,),
+        (Value.int(-big).as_row(),),
+        (Value.int(2**63 - 1).as_row(),),
+    ]
+    df = spark.createDataFrame(rows, "c0 struct<t:int,i:bigint,d:double,s:string>")
+    ser = _flatten_values(df).mapInPandas(_serialize_batches(["c0"]), schema="c0 string")
+    got = sorted((r.c0 for r in ser.collect()), key=lambda x: (x is None, x))
+    assert got == sorted(
+        [str(big), str(-big), str(2**63 - 1), None], key=lambda x: (x is None, x)
+    )
