@@ -1007,48 +1007,41 @@ class SemiNaiveEngine:
     def _merged_sparql_frame(
         self, endpoint: str, merged_q: str, out_names: list[str],
         bound: DataFrame | None, bound_vars: list[str],
-        max_pushdown_keys: int = 100_000,
     ) -> tuple[DataFrame, list[str]]:
         """Fetch one merged remote query for a merge group (precomputed by
         :meth:`_sparql_merge_groups`); columns renamed to the rule
-        variables. Binding-restricted loads (paged VALUES over the
-        variables shared with ``bound``) are per rule application;
-        unrestricted loads cache per (endpoint, query)."""
-        from nemo_spark.model.values import Value
-        from nemo_spark.sources.sparql import read_sparql_typed
+        variables. Delegates to :func:`sparql_deferred_loader`, so the
+        binding-pushdown contract (paged VALUES, empty-bindings
+        short-circuit, semi-join fallback above max_pushdown_keys, NULL
+        cells as UNDEF) has exactly one implementation. Restricted loads
+        are per rule application; unrestricted loads cache per
+        (endpoint, query)."""
+        from nemo_spark.sources.sparql import (
+            release_staging,
+            sparql_deferred_loader,
+            staging_mark,
+        )
 
-        bindings = None
-        if bound is not None:
-            shared = [v for v in bound_vars if v in set(out_names)]
-            if shared:
-                rows = bound.select(*shared).dropDuplicates().limit(max_pushdown_keys + 1).collect()
-                if not rows:
-                    # no bindings: the join result is empty — skip the fetch
-                    from nemo_spark.model.values import VALUE_SCHEMA
-
-                    schema = ", ".join(f"{v} {VALUE_SCHEMA}" for v in out_names)
-                    return self.spark.createDataFrame([], schema), out_names
-                if len(rows) <= max_pushdown_keys:
-                    vals = [
-                        tuple(Value(c["t"], c["i"], c["d"], c["s"]) for c in row)
-                        for row in rows
-                    ]
-                    bindings = (shared, vals)
-        if bindings is None:
-            cache = getattr(self, "_merged_sparql_cache", None)
-            if cache is None:
-                cache = self._merged_sparql_cache = {}
-            key = (endpoint, merged_q)
-            if key not in cache:
-                from nemo_spark.sources.sparql import release_staging, staging_mark
-
-                mark = staging_mark()
-                df = read_sparql_typed(self.spark, endpoint, merged_q)
-                cache[key] = df.toDF(*out_names).dropDuplicates().localCheckpoint(eager=True)
-                release_staging(mark)
-            return cache[key], out_names
-        df = read_sparql_typed(self.spark, endpoint, merged_q, bindings=bindings)
-        return df.toDF(*out_names).dropDuplicates(), out_names
+        loader = sparql_deferred_loader(self.spark, endpoint, out_names, merged_q)
+        shared = (
+            [(out_names.index(v), v) for v in bound_vars if v in set(out_names)]
+            if bound is not None
+            else []
+        )
+        if shared:
+            keys = bound.select(*[n for _, n in shared]).dropDuplicates()
+            df = loader((shared, keys))
+            return df.toDF(*out_names).dropDuplicates(), out_names
+        cache = getattr(self, "_merged_sparql_cache", None)
+        if cache is None:
+            cache = self._merged_sparql_cache = {}
+        key = (endpoint, merged_q)
+        if key not in cache:
+            mark = staging_mark()
+            df = loader(None)
+            cache[key] = df.toDF(*out_names).dropDuplicates().localCheckpoint(eager=True)
+            release_staging(mark)
+        return cache[key], out_names
 
     def _deferred_frame(
         self, atom: Atom, bound: DataFrame | None, bound_vars: list[str]
@@ -1207,7 +1200,7 @@ class SemiNaiveEngine:
         agg_alias = "__agg__"
         if aggregate.op in ("min", "max"):
             by = F.min_by if aggregate.op == "min" else F.max_by
-            aggs = [by(col, _sort_key_udf()(col)).alias(agg_alias)]
+            aggs = [by(col, _sort_key_col(col)).alias(agg_alias)]
             wrap = F.col(agg_alias)
         elif aggregate.op == "count":
             aggs = [F.count(col).alias(agg_alias)]
@@ -1372,36 +1365,36 @@ class SemiNaiveEngine:
 _SORT_KEY_UDF = None
 
 
-def _sort_key_udf():
-    """Arrow-batched pandas UDF: value struct -> order-preserving bytes
-    (``Value.sort_key_bytes``). Built lazily and cached; used only by the
-    typed #min/#max path (rls-program surface — data-pipeline aggregates
-    take the untyped Catalyst path)."""
+def _sort_key_col(col: Column) -> Column:
+    """Order-preserving byte key (``Value.sort_key_bytes``) for a value
+    struct column, via an Arrow-batched pandas UDF over the FLATTENED
+    fields — ``i`` travels as Catalyst's exact bigint->string cast because
+    a batch containing any NULL cell reaches pandas as float64 and would
+    corrupt int64 magnitudes above 2^53 (same trap as the export
+    serializer's _flatten_values). Used only by the typed #min/#max path."""
     global _SORT_KEY_UDF
     if _SORT_KEY_UDF is None:
         import pandas as pd
 
         from nemo_spark.model.values import Value
 
-        def f(col):
-            if isinstance(col, pd.DataFrame):
-                # a NULL struct cell arrives as NaN fields: emit a null key
-                # (min_by/max_by skip null ordering keys, matching min/max)
-                return pd.Series(
-                    [
-                        None if pd.isna(t) else Value(int(t), int(i), float(d), s).sort_key_bytes()
-                        for t, i, d, s in zip(col["t"], col["i"], col["d"], col["s"])
-                    ]
-                )
+        def f(t, i, d, s):
+            # a NULL struct cell arrives as NaN fields: emit a null key
+            # (min_by/max_by skip null ordering keys, matching min/max)
             return pd.Series(
                 [
-                    None if v is None else Value(v["t"], v["i"], v["d"], v["s"]).sort_key_bytes()
-                    for v in col
+                    None if pd.isna(tt) else Value(int(tt), int(ii), float(dd), ss).sort_key_bytes()
+                    for tt, ii, dd, ss in zip(t, i, d, s)
                 ]
             )
 
         _SORT_KEY_UDF = F.pandas_udf(f, "binary")
-    return _SORT_KEY_UDF
+    return _SORT_KEY_UDF(
+        col.getField("t"),
+        col.getField("i").cast("string"),
+        col.getField("d"),
+        col.getField("s"),
+    )
 
 
 def _body_is_cyclic(atoms: list[Atom]) -> bool:

@@ -23,11 +23,23 @@ jobs run here.
 from __future__ import annotations
 
 import json
+import re
 from xml.sax.saxutils import escape, quoteattr
 
 from nemo_spark.model.values import Value
 
 ASSERTED = "Asserted"  # trace.rs:260 DEFAULT_DERIVATION_ANNOTATION
+
+# characters outside XML 1.0's Char production cannot appear in a document
+# even escaped; data values may carry them (CSV/SPARQL ingest) — replace
+# with U+FFFD so the GraphML stays well-formed for its consumer (Evonne)
+_XML_INVALID = re.compile(
+    "[^\x09\x0a\x0d\x20-\ud7ff\ue000-\ufffd\U00010000-\U0010ffff]"
+)
+
+
+def _xml_text(s: str) -> str:
+    return escape(_XML_INVALID.sub("�", s))
 
 
 def _term_str(v) -> str:
@@ -81,8 +93,8 @@ def trace_graphml(tree: dict, rules_by_label: dict | None = None) -> str:
     ]
     for i, (typ, element) in enumerate(nodes):
         out.append(f"    <node id={quoteattr(f'n{i}')}>")
-        out.append(f'      <data key="type">{escape(typ)}</data>')
-        out.append(f'      <data key="element">{escape(element)}</data>')
+        out.append(f'      <data key="type">{_xml_text(typ)}</data>')
+        out.append(f'      <data key="element">{_xml_text(element)}</data>')
         out.append("    </node>")
     for src, dst in edges:
         out.append(f'    <edge source="n{src}" target="n{dst}"/>')

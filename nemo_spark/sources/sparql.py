@@ -84,6 +84,7 @@ def fetch_sparql_tsv(endpoint: str, query: str, timeout: float = 120.0) -> str:
 
 
 _CHUNK = 1 << 20  # streaming read granularity: driver memory per page is O(this)
+_HEADER_LIMIT = 8 << 20  # max bytes scanned for the TSV header line
 _staging_dirs: list[str] = []
 
 
@@ -143,6 +144,16 @@ def fetch_sparql_to_file(
                     buf += chunk
                     nl = buf.find(b"\n")
                     if nl < 0:
+                        if len(buf) > _HEADER_LIMIT:
+                            # a TSV result's first line is its variable
+                            # header; a multi-MB newline-free body is not a
+                            # TSV result — fail loudly instead of buffering
+                            # the whole response (the O(result) regime this
+                            # streaming path exists to prevent)
+                            raise ValueError(
+                                f"SPARQL response has no newline in the first "
+                                f"{_HEADER_LIMIT} bytes — not a TSV result"
+                            )
                         continue
                     header = buf[:nl].decode("utf-8").rstrip("\r").split("\t")
                     f.write(buf[nl + 1 :])
@@ -260,6 +271,17 @@ def read_sparql_typed(
     return _tsv_files_to_typed(spark, paths, fmts)
 
 
+def _binding_rows(rows) -> list[tuple]:
+    """Collected key rows -> Value tuples; a SQL NULL cell becomes None,
+    which :func:`_term_sparql` renders as UNDEF (a VALUES wildcard — a safe
+    over-fetch: the engine re-joins the restricted frame on the shared
+    variables, where NULL never matches)."""
+    return [
+        tuple(None if c is None else Value(c["t"], c["i"], c["d"], c["s"]) for c in row)
+        for row in rows
+    ]
+
+
 def merge_sparql_imports(
     specs: Sequence[tuple[str, Sequence[str], Sequence[str]]],
 ) -> tuple[str, list[str]] | None:
@@ -305,8 +327,9 @@ def merge_sparql_imports(
 
 def _rename_query_vars(body: str, rename: dict, idx: int) -> str:
     """Rename ``?var`` tokens in a group pattern, import-scoping non-renamed
-    ones — but ONLY outside <IRIs> and quoted literals, where a '?name'
-    sequence (URL query strings, literal text) must stay untouched."""
+    ones — but ONLY outside <IRIs>, quoted literals (double OR single
+    quoted, both legal SPARQL) and ``#`` comments, where a '?name' sequence
+    (URL query strings, literal text) must stay untouched."""
     import re
 
     out: list[str] = []
@@ -319,16 +342,23 @@ def _rename_query_vars(body: str, rename: dict, idx: int) -> str:
             j = n if j < 0 else j + 1
             out.append(body[i:j])
             i = j
-        elif c == '"':
+        elif c in ('"', "'"):
+            quote = c
             j = i + 1
             while j < n:
                 if body[j] == "\\":
                     j += 2
                     continue
-                if body[j] == '"':
+                if body[j] == quote:
                     j += 1
                     break
                 j += 1
+            out.append(body[i:j])
+            i = j
+        elif c == "#":
+            # SPARQL comment: opaque to end of line
+            j = body.find("\n", i)
+            j = n if j < 0 else j
             out.append(body[i:j])
             i = j
         elif c == "?":
@@ -381,11 +411,8 @@ def sparql_deferred_loader(
             full = read_sparql_typed(spark, endpoint, query, formats=formats)
             return semi_join_loader(full)(bindings)
         vars_ = [variables[pos] for pos, _ in shared]
-        vals = [
-            tuple(Value(c["t"], c["i"], c["d"], c["s"]) for c in row) for row in rows
-        ]
         return read_sparql_typed(
-            spark, endpoint, query, formats=formats, bindings=(vars_, vals)
+            spark, endpoint, query, formats=formats, bindings=(vars_, _binding_rows(rows))
         )
 
     # merge metadata: lets the engine coalesce several import atoms of one

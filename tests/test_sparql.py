@@ -483,3 +483,14 @@ def test_deferred_empty_bindings_skip_fetch(spark, endpoint):
     out = loader(([(0, "s")], empty_keys))
     assert out.count() == 0
     assert len(_Endpoint.seen) == before  # no HTTP request issued
+
+
+def test_merge_rename_spares_single_quotes_and_comments():
+    from nemo_spark.sources.sparql import _rename_query_vars
+
+    body = "?s <http://ex/p> 'don?t' . # trailing ?comment\n?s ?p ?o"
+    out = _rename_query_vars(body, {"s": "x"}, 0)
+    assert "'don?t'" in out
+    assert "# trailing ?comment" in out
+    assert out.startswith("?x ")
+    assert "?__m0_p ?__m0_o" in out

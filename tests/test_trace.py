@@ -137,3 +137,21 @@ def test_trace_graphml_and_json_serialization():
     t2 = {"fact": ("p", (Value.iri("http://ex/a"), Value.string("hi"))), "rule": None, "premises": []}
     js2 = json.loads(trace_inferences_json(t2))
     assert js2["finalConclusion"] == ['p(<http://ex/a>, "hi")']
+
+
+def test_trace_graphml_sanitizes_control_chars():
+    """Control characters in data values must not break GraphML
+    well-formedness (XML 1.0 cannot represent them even escaped)."""
+    import xml.etree.ElementTree as ET
+
+    from nemo_spark.engine.trace_export import trace_graphml
+    from nemo_spark.model.values import Value
+
+    tree = {
+        "fact": ("p", (Value.string("a\x02b"),)),
+        "rule": None,
+        "premises": [],
+    }
+    xml = trace_graphml(tree)
+    ET.fromstring(xml)  # well-formed
+    assert "\x02" not in xml
