@@ -494,3 +494,42 @@ def test_merge_rename_spares_single_quotes_and_comments():
     assert "# trailing ?comment" in out
     assert out.startswith("?x ")
     assert "?__m0_p ?__m0_o" in out
+
+
+def test_sparql_staging_released_per_round(spark, endpoint):
+    """Restricted (per-application) SPARQL loads during a recursive fixpoint
+    must not accumulate staging dirs: each round's merges materialize every
+    consumer, and the round releases its pages."""
+    import nemo_spark.sources.sparql as sp
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("reach", X, Y), body=[Atom("seed", X), Atom("knows", X, Y)]),
+            Rule(head=Atom("reach", X, Z), body=[Atom("reach", X, Y), Atom("knows", Y, Z)]),
+        ]
+    )
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng.register(
+        "seed",
+        spark.createDataFrame(
+            [((13, 0, 0.0, "http://ex/a"),)],
+            "c0 struct<t:int,i:bigint,d:double,s:string>",
+        ),
+    )
+    eng.register_deferred(
+        "knows",
+        sp.sparql_deferred_loader(
+            spark, endpoint, ["s", "o"],
+            "SELECT ?s ?o WHERE { ?s <http://ex/knows> ?o }",
+        ),
+        2,
+    )
+    before = sp.staging_mark()
+    eng.run(prog)
+    assert eng.table("reach").count() == 2  # (a,b) and (a,c) via b
+    assert sp.staging_mark() == before  # every round released its pages
+    # restriction actually happened (VALUES pushdown, not full dumps)
+    assert any("VALUES (?s)" in q for _, q in _Endpoint.seen)
