@@ -57,12 +57,20 @@ def connected_components(
     O(diameter) shuffles. ``'hashmin'`` stays available (fewer per-round
     jobs; fine when the diameter is known-small).
     """
-    if small_graph_threshold and edges.count() <= small_graph_threshold:
+    if (
+        small_graph_threshold
+        # the single-task path unions both endpoint columns into one node
+        # domain: only sound when their types agree (mixed types also make
+        # min-label CC ill-defined — let the distributed path surface
+        # Spark's coercion consistently)
+        and edges.schema[src].dataType == edges.schema[dst].dataType
+        and edges.limit(small_graph_threshold + 1).count() <= small_graph_threshold
+    ):
         return _small_graph_cc(edges, src, dst)
     if method not in ("auto", "star", "hashmin"):
         raise ValueError(f"unknown cc method: {method}")
     if method in ("auto", "star"):
-        return _star_cc(edges, src, dst, checkpoint_every, max_rounds)
+        return _star_cc(edges, src, dst, checkpoint_every, max_rounds, checkpoint_store)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -78,6 +86,11 @@ def connected_components(
         .persist()
     )
     rounds = 0
+    # persisted: the handle that OWNS each round's cache entry — unpersist
+    # must run on the persisted DataFrame itself, not a derived plan
+    # (Spark's cache lookup is by plan; old.unpersist() on a drop()
+    # derivative was a silent no-op and every round's labels leaked)
+    persisted = labels
     while rounds < max_rounds:
         rounds += 1
         t0 = time.time()
@@ -96,22 +109,31 @@ def connected_components(
             )
         ).persist()
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        old = labels
         labels = new_labels.drop("__changed")
         if checkpoint_store is not None and rounds % checkpoint_every == 0:
             labels = checkpoint_store.snapshot("cc_labels", labels, rounds)
         elif rounds % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
-        old.unpersist()
+        persisted.unpersist()
+        persisted = new_labels
         log.debug("cc round %d changed=%s %.2fs", rounds, bool(changed), time.time() - t0)
         if not changed:
             break
+    result = labels.select(F.col("node"), F.col("label").alias("component")).localCheckpoint(
+        eager=True
+    )
+    persisted.unpersist()
     sym.unpersist()
-    return labels.select(F.col("node"), F.col("label").alias("component"))
+    return result
 
 
 def _star_cc(
-    edges: DataFrame, src: str, dst: str, checkpoint_every: int, max_rounds: int
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    checkpoint_every: int,
+    max_rounds: int,
+    checkpoint_store: Any | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components — O(log n)
     rounds regardless of graph diameter (vs hash-min's O(diameter)), the
@@ -135,6 +157,12 @@ def _star_cc(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    if checkpoint_store is not None:
+        # resume: the per-round edge set is a sound restart point (each
+        # star round is a monotone transformation toward the star forest)
+        resumed = checkpoint_store.load("cc_star_edges")
+        if resumed is not None:
+            e = resumed
 
     def large_star(ed: DataFrame) -> DataFrame:
         sym = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -170,6 +198,8 @@ def _star_cc(
             .count()
         )
         e = nxt
+        if checkpoint_store is not None and rounds % checkpoint_every == 0:
+            e = checkpoint_store.snapshot("cc_star_edges", e, rounds)
         log.debug("star-cc round %d changed=%s %.2fs", rounds, bool(changed), time.time() - t0)
         if not changed:
             break

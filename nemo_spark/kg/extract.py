@@ -165,7 +165,13 @@ def extract_turn_features_pandas(transcripts: DataFrame) -> DataFrame:
             out["lang"] = np.where(scores.max(axis=0) > 0, langs[best], "unk")
             # 64-bit content fingerprint for turn-level exact dedup
             out["fp"] = pd.util.hash_array(t.to_numpy(dtype=object)).astype("int64")
-            yield out[out["subj_alias"].notna()]
+            # EVERY turn keeps its feature row — turns without a relation
+            # sentence carry null triple columns. Dropping them here would
+            # silently lose the quality/langid/dedup-fingerprint features of
+            # all non-relation turns on real corpora (the triples consumer
+            # filters subj_alias itself; the synthetic corpus plants a
+            # relation per turn, which is how this masked as harmless)
+            yield out
 
     cols = transcripts.select("conv_id", "turn_idx", "text")
     return cols.mapInPandas(extract, schema=TURN_FEATURES_SCHEMA)
@@ -214,43 +220,34 @@ MENTIONS_SCHEMA = "conv_id string, turn_idx int, mention string, span_start int,
 
 def extract_mentions_pandas(transcripts: DataFrame) -> DataFrame:
     """Mention spans per turn (FIXTURES §3 ``mentions`` schema): both aliases
-    of the planted relation sentence with character offsets — vectorized
-    arithmetic over the extracted groups (subj starts at 0; obj starts after
-    'subj pred ')."""
+    of the first relation sentence with their TRUE character offsets, taken
+    from the regex match object itself — MENTION_RE is unanchored, so
+    matches need not start at offset 0 (the old vectorized arithmetic
+    assumed they did and reported shifted spans for mid-text matches)."""
     pattern = re.compile(MENTION_RE)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            hits = pdf["text"].str.extract(pattern)
-            hits.columns = ["subj_alias", "pred", "obj_alias"]
-            ok = hits["subj_alias"].notna()
-            if not ok.any():
-                continue
-            hits = hits[ok]
-            keys = pdf.loc[hits.index, ["conv_id", "turn_idx"]]
-            s_len = hits["subj_alias"].str.len()
-            o_start = s_len + 1 + hits["pred"].str.len() + 1
-            subj = pd.DataFrame(
-                {
-                    "conv_id": keys["conv_id"].to_numpy(),
-                    "turn_idx": keys["turn_idx"].to_numpy(),
-                    "mention": hits["subj_alias"].to_numpy(),
-                    "span_start": 0,
-                    "span_end": s_len.to_numpy(),
-                }
-            )
-            obj = pd.DataFrame(
-                {
-                    "conv_id": keys["conv_id"].to_numpy(),
-                    "turn_idx": keys["turn_idx"].to_numpy(),
-                    "mention": hits["obj_alias"].to_numpy(),
-                    "span_start": o_start.to_numpy(),
-                    "span_end": (o_start + hits["obj_alias"].str.len()).to_numpy(),
-                }
-            )
-            yield pd.concat([subj, obj], ignore_index=True)
+            cols: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "mention": [],
+                "span_start": [], "span_end": [],
+            }
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                m = pattern.search(text) if text is not None else None
+                if m is None:
+                    continue
+                for g in (1, 3):  # subj alias, obj alias groups
+                    cols["conv_id"].append(conv_id)
+                    cols["turn_idx"].append(turn_idx)
+                    cols["mention"].append(m.group(g))
+                    cols["span_start"].append(m.start(g))
+                    cols["span_end"].append(m.end(g))
+            if cols["mention"]:
+                yield pd.DataFrame(cols)
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(extract, schema=MENTIONS_SCHEMA)
 

@@ -133,7 +133,10 @@ def run_pipeline(
             edges = triples.filter(F.col("pred") == pred).select(
                 F.col("subj").alias("src"), F.col("obj").alias("dst")
             )
-            part = transitive_closure(edges, small_graph_threshold=100_000).select(
+            # graph.py's 10k default stands: TC OUTPUT is quadratic in nodes,
+            # so the single-task fast path must stay tightly bounded even
+            # though CC tolerates 100k (its output is linear)
+            part = transitive_closure(edges).select(
                 F.col("src").alias("subj"), F.lit(pred).alias("pred"), F.col("dst").alias("obj")
             )
             out = part if out is None else out.unionByName(part)

@@ -28,7 +28,7 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     min id in the group. Filter n > 1 for duplicate clusters."""
     return (
         df.groupBy(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("h"))
-        .agg(F.min(id_col).cast("long").alias("canonical_id"), F.count(F.lit(1)).alias("n"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -106,8 +106,15 @@ def jaccard_verify(
         pairs.join(a, on="a").join(b, on="b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("__sa", "__sb")).cast("double")
-            / F.size(F.array_union("__sa", "__sb")).cast("double"),
+            # guard the 0/0 case: two docs shorter than k tokens both have
+            # empty shingle sets — identical (trivially) => 1.0, never NULL
+            # (a NULL would silently drop a true duplicate pair at any
+            # threshold)
+            F.when(
+                F.size(F.array_union("__sa", "__sb")) > 0,
+                F.size(F.array_intersect("__sa", "__sb")).cast("double")
+                / F.size(F.array_union("__sa", "__sb")).cast("double"),
+            ).otherwise(F.lit(1.0)),
         )
         .select("a", "b", "jaccard")
     )

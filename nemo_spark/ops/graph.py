@@ -44,7 +44,16 @@ def transitive_closure(
     threshold: closure OUTPUT is worst-case quadratic in nodes (a 100k-node
     chain closes to 5x10^9 pairs), so the single-task path must stay bounded;
     CC output is linear in nodes, so its threshold can be 10x higher."""
-    if small_graph_threshold and edges.count() <= small_graph_threshold:
+    if (
+        small_graph_threshold
+        # the single-task path types its output columns from src's type
+        # (closure composes dst back into src positions, so the types must
+        # agree for the operation to be meaningful anyway)
+        and edges.schema[src].dataType == edges.schema[dst].dataType
+        # probe at most threshold+1 rows — never a full count of a
+        # 100-TB edge relation just to decide the gate
+        and edges.limit(small_graph_threshold + 1).count() <= small_graph_threshold
+    ):
         return _small_graph_tc(edges, src, dst)
     tc = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

@@ -70,7 +70,10 @@ def pandas_cosine_scores(
             s = np.divide(m @ qv, norms, out=np.zeros(len(m)), where=norms > 0)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "score": s})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(score, schema=f"{id_col} long, score double")
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} {id_type}, score double"
+    )
 
 
 def plane_component(p: int, j: int) -> float:

@@ -284,3 +284,81 @@ def test_simhash_hamming_banded_complete(spark):
     con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
     want_hex = sorted(tuple(r) for r in con.execute(simhash_hex_hamming_oracle_sql()).fetchall())
     assert got_hex == want_hex
+
+
+def test_mention_spans_mid_text(spark):
+    """MENTION_RE is unanchored: spans must come from the actual match
+    offsets, not assume the relation sentence starts at offset 0."""
+    from nemo_spark.kg.extract import extract_mentions_pandas
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "note: entity_1 works_at ent-2 .")],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = {r.mention: (r.span_start, r.span_end) for r in extract_mentions_pandas(tr).collect()}
+    assert rows["entity_1"] == (6, 14)
+    assert rows["ent-2"] == (24, 29)
+
+
+def test_turn_features_keep_non_relation_turns(spark):
+    """The one-pass feature extractor keeps a row per turn — quality/langid/
+    fingerprint features of turns WITHOUT a relation sentence must survive
+    (they feed dedup and quality filtering); triple columns are null."""
+    from nemo_spark.kg.extract import extract_turn_features_pandas
+
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, "entity_1 works_at ent-2 . more text"),
+            ("c1", 1, "just chatting about the weather"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = extract_turn_features_pandas(tr).collect()
+    assert len(out) == 2
+    by_idx = {r.turn_idx: r for r in out}
+    assert by_idx[0].subj_alias == "entity_1"
+    assert by_idx[1].subj_alias is None
+    assert by_idx[1].n_tokens == 5 and by_idx[1].fp is not None
+
+
+def test_jaccard_verify_empty_shingles(spark):
+    """Identical docs shorter than k tokens (empty shingle sets) must score
+    1.0, not NULL (which silently dropped true duplicates)."""
+    from nemo_spark.ops.dedup import jaccard_verify
+
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "hi"), (3, "completely different text right here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = jaccard_verify(pairs, docs, k=3, threshold=0.8).collect()
+    assert [(r.a, r.b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_cosine_scores_string_ids(spark):
+    """pandas_cosine_scores derives the id column type from the input
+    schema instead of hardcoding bigint."""
+    from nemo_spark.ops.similarity import pandas_cosine_scores
+
+    emb = spark.createDataFrame(
+        [("v-1", [1.0, 0.0]), ("v-2", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = {r.vec_id: r.score for r in pandas_cosine_scores(emb, [1.0, 0.0]).collect()}
+    assert abs(got["v-1"] - 1.0) < 1e-9 and abs(got["v-2"]) < 1e-9
+
+
+def test_small_graph_gates_require_matching_types(spark):
+    """Mixed src/dst types skip the single-task fast paths (whose output
+    schema unifies both endpoint columns) and take the distributed path."""
+    from nemo_spark.ops.graph import transitive_closure
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    mixed = edges.selectExpr("src", "CAST(dst AS STRING) AS dst")
+    # same-typed input under threshold -> single task path, correct closure
+    got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    # mixed types: must not crash in the fast path (falls back distributed;
+    # Spark coerces the join keys)
+    out = transitive_closure(mixed)
+    assert out.count() >= 2
