@@ -24,6 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _safe_name(name: str) -> str:
+    """Snapshot names become filesystem path components: IRI predicate
+    names carry '/' and ':' which break both local paths and Hadoop Path
+    parsing (same sanitization as export filenames, parser/runner.py)."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_.\-]", "_", name)
+
+
 class CheckpointStore:
     def __init__(self, root: str, spark: SparkSession) -> None:
         self.root = root
@@ -59,7 +68,7 @@ class CheckpointStore:
         return out
 
     def latest_step(self, name: str) -> int | None:
-        base = os.path.join(self.root, name)
+        base = os.path.join(self.root, _safe_name(name))
         if not os.path.isdir(base):
             return None
         steps = [
@@ -79,19 +88,30 @@ class CheckpointStore:
     # --------------------------------------------------------------- lineage
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))
+        path = os.path.join(self.root, "_lineage")
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            # fresh store: no lineage rows yet (read.parquet on an empty
+            # directory raises instead of returning an empty frame)
+            return self.spark.createDataFrame(
+                [], "name string, step int, partition_id int, rows long"
+            )
+        return self.spark.read.parquet(path)
 
     def metrics(self, name: str) -> list[dict]:
         out = []
         base = os.path.join(self.root, "_meta")
+        safe = _safe_name(name)
         for fn in sorted(os.listdir(base)):
-            if fn.startswith(f"{name}__"):
+            # parse from the RIGHT: snapshot names may themselves contain
+            # '__' (sanitized IRI predicates), so a prefix match would mix
+            # 'a' with 'a__b' metrics
+            if fn.endswith(".json") and fn[: -len(".json")].rsplit("__", 1)[0] == safe:
                 with open(os.path.join(base, fn)) as f:
                     out.append(json.load(f))
         return out
 
     def _path(self, name: str, step: int) -> str:
-        return os.path.join(self.root, name, f"step={step}")
+        return os.path.join(self.root, _safe_name(name), f"step={step}")
 
     def _meta_path(self, name: str, step: int) -> str:
-        return os.path.join(self.root, "_meta", f"{name}__{step:06d}.json")
+        return os.path.join(self.root, "_meta", f"{_safe_name(name)}__{step:06d}.json")

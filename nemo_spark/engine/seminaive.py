@@ -645,6 +645,12 @@ class SemiNaiveEngine:
 
         if not stratum_is_local_eligible(rules):
             return False
+        if self.chase == "skolem" and any(r.existential_vars() for r in rules):
+            # local and distributed skolem terms are named by different hash
+            # functions; a later extend() continues distributed and would
+            # mint a SECOND null for the same witness — skolem-chase
+            # existential strata stay on one (the distributed) path
+            return False
         preds = {a.pred for r in rules for a in r.body + r.negated} | {
             h.pred for r in rules for h in r.heads()
         }
@@ -652,6 +658,23 @@ class SemiNaiveEngine:
         # unknown until loaded): such strata stay distributed
         if any(p in self._deferred and p not in self._tables for p in preds):
             return False
+        # constant body terms compare with strict Python equality locally,
+        # but with Spark's implicit-cast equality distributed (an int
+        # constant matches a '5' string cell there). Only run locally when
+        # every constant's Python type is compatible with its column's
+        # Spark type — otherwise the two paths could disagree.
+        from nemo_spark.model.values import Value as _V
+
+        for r in rules:
+            for a in r.body + r.negated:
+                if a.pred not in self._tables:
+                    continue
+                schema = self._tables[a.pred].schema
+                for i, t in enumerate(a.terms):
+                    if isinstance(t, (Var, _V)) or i >= len(schema.fields):
+                        continue  # Values compare exactly on both paths
+                    if not _py_const_matches_spark_type(t, schema.fields[i].dataType):
+                        return False
         total = sum(self._table_counts.get(p, 0) for p in preds)
         if total > self.local_stratum_threshold:
             return False
@@ -1448,6 +1471,20 @@ def semi_join_loader(frame: DataFrame) -> Any:
         )
 
     return loader
+
+
+def _py_const_matches_spark_type(t: Any, dtype: Any) -> bool:
+    """Would strict Python equality on this constant agree with Spark's
+    implicit-cast equality against a column of ``dtype``?"""
+    from pyspark.sql.types import BooleanType, NumericType, StringType
+
+    if isinstance(t, bool):
+        return isinstance(dtype, BooleanType)
+    if isinstance(t, (int, float)):
+        return isinstance(dtype, NumericType)
+    if isinstance(t, str):
+        return isinstance(dtype, StringType)
+    return False  # unknown shape: stay distributed
 
 
 def _lit_term(t: Any) -> Column:

@@ -129,12 +129,19 @@ def _ttl_tokens(text: str) -> list[str]:
 
 
 class _TurtleParser:
-    def __init__(self, toks: list[str], quads: bool) -> None:
+    def __init__(self, toks: list[str], quads: bool, scope: str = "") -> None:
         self.toks = toks
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.bnode = 0
+        # blank-node label scope: explicit labels live under '<scope>e.' and
+        # anonymous property lists under '<scope>a.' — disjoint namespaces,
+        # so an explicit _:b1 can never merge with the first [...] node, and
+        # distinct documents in one read never unify their blank nodes
+        # (RDF keeps blank nodes document-local, as does nemo's per-resource
+        # import)
+        self.scope = scope
         self.quads = quads
         self.graph = Value.iri("")  # default graph
         self.out: list[tuple] = []
@@ -242,7 +249,7 @@ class _TurtleParser:
 
     def _bnode_props(self) -> Value:
         self.bnode += 1
-        node = Value.null(f"b{self.bnode}")
+        node = Value.null(f"{self.scope}a.{self.bnode}" if self.scope else f"b{self.bnode}")
         if self.peek() != "]":
             self._predicate_object_list_for(node)
         assert self.next() == "]"
@@ -265,7 +272,7 @@ class _TurtleParser:
         if t.startswith("<"):
             return Value.iri(t[1:-1])
         if t.startswith("_:"):
-            return Value.null(t[2:])
+            return Value.null(f"{self.scope}e.{t[2:]}" if self.scope else t[2:])
         if t.startswith('"'):
             return Value.string(unescape_string(t[1:-1]))
         if t in ("true", "false"):
@@ -284,7 +291,7 @@ class _TurtleParser:
         raise ValueError_(f"turtle: unexpected term {t!r}")
 
 
-def _rdfxml_triples(text: str) -> list[tuple]:
+def _rdfxml_triples(text: str, scope: str = "") -> list[tuple]:
     """Minimal RDF/XML subset (reference corpus shapes): rdf:Description with
     rdf:about / attribute properties / nested descriptions / rdf:resource."""
     import xml.etree.ElementTree as ET
@@ -303,7 +310,7 @@ def _rdfxml_triples(text: str) -> list[tuple]:
             v = Value.iri(about)
         else:
             bnode[0] += 1
-            v = Value.null(f"x{bnode[0]}")
+            v = Value.null(f"{scope}a.{bnode[0]}" if scope else f"x{bnode[0]}")
         # attribute properties (skip rdf: attrs)
         for k, val in el.attrib.items():
             if k.startswith(RDF_NS):
@@ -340,10 +347,13 @@ def _read_rdf_doc(spark: SparkSession, path: str, fmt: str) -> DataFrame:
             for text in pdf["value"]:
                 if not text or not text.strip():
                     continue
+                import hashlib as _hl
+
+                scope = _hl.md5(text.encode()).hexdigest()[:8] + "."
                 if fmt == "rdfxml":
-                    rows = _rdfxml_triples(text)
+                    rows = _rdfxml_triples(text, scope)
                 else:
-                    rows = _TurtleParser(_ttl_tokens(text), quads).parse()
+                    rows = _TurtleParser(_ttl_tokens(text), quads, scope).parse()
                 for row in rows:
                     for c, v in zip(cols, row):
                         c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})

@@ -183,6 +183,38 @@ def _term_sparql(v: Value | None) -> str:
     return quote_string(v.lexical()) + f"^^<{v.datatype_iri()}>"
 
 
+def _last_group_close(query: str) -> int:
+    """Index of the last '}' OUTSIDE quotes, IRIs and # comments — a brace
+    inside a trailing comment must not receive the VALUES injection (the
+    endpoint would ignore the whole block)."""
+    last = -1
+    i, n = 0, len(query)
+    while i < n:
+        c = query[i]
+        if c in ('"', "'"):
+            q = c
+            i += 1
+            while i < n:
+                if query[i] == "\\":
+                    i += 2
+                    continue
+                if query[i] == q:
+                    i += 1
+                    break
+                i += 1
+        elif c == "<":
+            j = query.find(">", i)
+            i = n if j < 0 else j + 1
+        elif c == "#":
+            j = query.find("\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            if c == "}":
+                last = i
+            i += 1
+    return last
+
+
 def query_with_values(query: str, variables: Sequence[str], rows: Sequence[tuple]) -> str:
     """Inject a VALUES block restricting ``variables`` into the query's
     outermost group pattern (textual analogue of queries.rs
@@ -192,7 +224,7 @@ def query_with_values(query: str, variables: Sequence[str], rows: Sequence[tuple
     var_list = " ".join(f"?{v}" for v in variables)
     bindings = " ".join("(" + " ".join(_term_sparql(c) for c in row) + ")" for row in rows)
     block = f" VALUES ({var_list}) {{ {bindings} }} "
-    close = query.rfind("}")
+    close = _last_group_close(query)
     if close < 0:
         raise ValueError(f"query has no group pattern to restrict: {query!r}")
     return query[:close] + block + query[close:]
@@ -240,6 +272,12 @@ def read_sparql_typed(
     (bounded driver memory, see :func:`_staging_dir`); an HTTP 413 splits
     the failing page's binding rows in half and retries (reader.rs:112-131).
     """
+    if bindings is not None and not list(bindings[1]):
+        # zero binding rows: the restricted result is empty by definition —
+        # never fall through to an unrestricted whole-endpoint dump
+        n = len([f for f in (formats or []) if f != "skip"]) or len(bindings[0])
+        schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(max(n, 1)))
+        return spark.createDataFrame([], schema)
     chunks: list[list[tuple] | None] = (
         list(_paged_chunks(query, bindings[0], list(bindings[1]))) if bindings else []
     ) or [None]
@@ -305,9 +343,16 @@ def merge_sparql_imports(
     for idx, (query, proj, terms) in enumerate(specs):
         # anchored at ^: a PREFIX/BASE prologue would be silently dropped by
         # the textual merge (the copied body still uses the prefixed names),
-        # so prologued queries are NOT mergeable — they load separately
+        # so prologued queries are NOT mergeable — they load separately.
+        # '$var' (the alternate SPARQL variable form) would escape the
+        # ?-token renaming: also unmergeable.
         m = re.match(r"\s*SELECT\s+(.*?)\s*WHERE\s*\{(.*)\}\s*$", query, re.IGNORECASE | re.DOTALL)
-        if m is None or len(proj) != len(terms) or len(set(proj)) != len(proj):
+        if (
+            m is None
+            or "$" in query
+            or len(proj) != len(terms)
+            or len(set(proj)) != len(proj)
+        ):
             return None
         rename = dict(zip(proj, terms))
         body = _rename_query_vars(m.group(2), rename, idx).strip().rstrip(".").strip()
@@ -396,8 +441,12 @@ def sparql_deferred_loader(
     a binding column is unexpectedly large."""
     from nemo_spark.engine.seminaive import semi_join_loader
 
+    full_cache: list[DataFrame] = []  # one checkpointed full dump at most
+
     def loader(bindings):
         if bindings is None:
+            if full_cache:
+                return full_cache[0]
             return read_sparql_typed(spark, endpoint, query, formats=formats)
         shared, keys = bindings
         rows = keys.limit(max_pushdown_keys + 1).collect()
@@ -408,8 +457,17 @@ def sparql_deferred_loader(
             schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(max(n, 1)))
             return spark.createDataFrame([], schema)
         if len(rows) > max_pushdown_keys:
-            full = read_sparql_typed(spark, endpoint, query, formats=formats)
-            return semi_join_loader(full)(bindings)
+            # binding column too wide to push: restrict a FULL load with a
+            # semi-join instead — fetched once per loader (a recursive rule
+            # would otherwise re-download the endpoint every round)
+            if not full_cache:
+                mark = staging_mark()
+                full_cache.append(
+                    read_sparql_typed(spark, endpoint, query, formats=formats)
+                    .localCheckpoint(eager=True)
+                )
+                release_staging(mark)
+            return semi_join_loader(full_cache[0])(bindings)
         vars_ = [variables[pos] for pos, _ in shared]
         return read_sparql_typed(
             spark, endpoint, query, formats=formats, bindings=(vars_, _binding_rows(rows))

@@ -585,3 +585,44 @@ def test_history_table_lifecycle_close(spark):
         if t.name.startswith("nemo_hist_") and (eng1._uid in t.name or eng2._uid in t.name)
     ]
     assert leftovers == []
+
+
+def test_local_fixpoint_constant_type_mismatch_stays_distributed(spark):
+    """An int constant against a STRING column matches under Spark's
+    implicit-cast equality; the local path's strict Python equality would
+    disagree — such strata must stay distributed so both table sizes give
+    the same answer."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X = Var("x")
+    prog = Program(rules=[Rule(head=Atom("hit", X), body=[Atom("p", X, 5)])])
+
+    def run(threshold):
+        eng = SemiNaiveEngine(spark, local_stratum_threshold=threshold)
+        eng.register("p", spark.createDataFrame([("a", "5"), ("b", "7")], "k string, v string"))
+        eng.run(prog)
+        return sorted(r.c0 for r in eng.table("hit").collect())
+
+    assert run(0) == run(1_000_000) == ["a"]
+
+
+def test_checkpoint_store_iri_names_and_empty_lineage(spark, tmp_path):
+    """IRI predicate names sanitize into filesystem-safe snapshot paths;
+    lineage() on a fresh store returns an empty frame instead of raising."""
+    from nemo_spark.engine.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "ckpt"), spark)
+    assert store.lineage().count() == 0  # fresh store: no lineage yet
+
+    name = "https://example.org/result"
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    store.snapshot(name, df, 0)
+    assert store.latest_step(name) == 0
+    assert store.load(name).count() == 2
+    assert [m["step"] for m in store.metrics(name)] == [0]
+    # '__'-containing names do not cross-match in metrics
+    store.snapshot("a", df, 1)
+    store.snapshot("a__b", df, 2)
+    assert [m["step"] for m in store.metrics("a")] == [1]
+    assert [m["step"] for m in store.metrics("a__b")] == [2]

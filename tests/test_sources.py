@@ -82,3 +82,30 @@ def test_from_json_column(spark, sf_dir="/root/testdata/sf0.001"):
     parsed = from_json_column(ev, "props", "k int")
     row = parsed.select(F.col("props_parsed.k").alias("k")).filter(F.col("k").isNotNull()).first()
     assert row is not None
+
+
+def test_turtle_blank_nodes_scoped(spark, tmp_path):
+    """An explicit _:b1 must NOT merge with the first anonymous [...] node
+    (disjoint label namespaces), and blank nodes in distinct documents of
+    one read stay distinct (RDF document-local semantics)."""
+    from nemo_spark.model.values import T_NULL, Value
+    from nemo_spark.sources.rdf_typed import read_rdf_typed
+
+    doc = '_:b1 <http://ex/p> "x" .\n_:b1 <http://ex/r> [ <http://ex/q> "y" ] .'
+    f = tmp_path / "a.ttl"
+    f.write_text(doc)
+    rows = [
+        tuple(Value(*c) for c in r) for r in read_rdf_typed(spark, str(f), "turtle").collect()
+    ]
+    nulls = {v.s for r in rows for v in r if v.t == T_NULL}
+    assert len(nulls) == 2  # explicit b1 and the anonymous [..] node are distinct
+
+    # two documents each using _:b1: no cross-document unification
+    (tmp_path / "docs").mkdir()
+    (tmp_path / "docs" / "one.ttl").write_text('_:b1 <http://ex/p> "1" .')
+    (tmp_path / "docs" / "two.ttl").write_text('_:b1 <http://ex/p> "2" .')
+    rows2 = [
+        tuple(Value(*c) for c in r)
+        for r in read_rdf_typed(spark, str(tmp_path / "docs"), "turtle").collect()
+    ]
+    assert len({r[0].s for r in rows2}) == 2
