@@ -179,8 +179,10 @@ def _int_pow(a: Column, b: Column) -> Column:
     # double with an exactness check (exact up to 2^53; larger exact powers
     # of magnitude < 2^63 are extremely sparse — documented approximation).
     d = F.pow(a.cast("double"), b.cast("double"))
-    ok = (b >= F.lit(0)) & (F.abs(d) <= F.lit(float(I64_MAX))) & ~F.isnan(d)
-    return F.when(ok, d.cast("long")).otherwise(F.lit(None).cast("long"))
+    # STRICT <: float(I64_MAX) rounds to exactly 2^63, so <= admitted the
+    # boundary (POW(2,63) saturated to i64::MAX instead of no-result)
+    ok = (b >= F.lit(0)) & (F.abs(d) < F.lit(float(I64_MAX))) & ~F.isnan(d)
+    return F.when(ok, d.try_cast("long")).otherwise(F.lit(None).cast("long"))
 
 
 def _int_sqrt(a: Column) -> Column:
@@ -204,7 +206,7 @@ def _int_log(a: Column, b: Column) -> Column:
 
 def _int_pow_exactish(base: Column, e: Column) -> Column:
     d = F.pow(base.cast("double"), e.cast("double"))
-    return F.when(F.abs(d) <= F.lit(float(I64_MAX)), d.cast("long")).otherwise(F.lit(I64_MAX))
+    return F.when(F.abs(d) < F.lit(float(I64_MAX)), d.try_cast("long")).otherwise(F.lit(I64_MAX))
 
 
 def t_sum(a: Column, b: Column) -> Column:
@@ -253,7 +255,12 @@ def t_lukasiewicz(a: Column, b: Column) -> Column:
     return _arith2(
         a,
         b,
-        lambda x, y: F.greatest(F.lit(0).cast("long"), F.try_add(x, y) - F.lit(1)),
+        # overflow must stay no-result: greatest() IGNORES null args, so
+        # a try_add overflow would otherwise collapse to the floor value 0
+        lambda x, y: F.when(
+            F.try_add(x, y).isNotNull(),
+            F.greatest(F.lit(0).cast("long"), F.try_add(x, y) - F.lit(1)),
+        ).otherwise(F.lit(None).cast("long")),
         lambda x, y: F.greatest(F.lit(0.0), x + y - F.lit(1.0)),
     )
 
@@ -295,12 +302,22 @@ def _float_only(a: Column, fn) -> Column:
     )
 
 
+def _f64_preserving(fn):
+    # |x| >= 2^53: every such double is already an integer, and Spark's
+    # ceil/floor return LONG (saturating at 2^63) — pass the value through
+    # instead (Rust f64::ceil/floor keep f64)
+    def g(x):
+        return F.when(F.abs(x) < F.lit(2.0**53), fn(x).cast("double")).otherwise(x)
+
+    return g
+
+
 def t_ceil(a: Column) -> Column:
-    return _arith1(a, lambda x: x, lambda x: F.ceil(x).cast("double"))
+    return _arith1(a, lambda x: x, _f64_preserving(F.ceil))
 
 
 def t_floor(a: Column) -> Column:
-    return _arith1(a, lambda x: x, lambda x: F.floor(x).cast("double"))
+    return _arith1(a, lambda x: x, _f64_preserving(F.floor))
 
 
 def t_round(a: Column) -> Column:
@@ -349,11 +366,16 @@ def as_bool(a: Column) -> Column:
 
 
 def t_and(a: Column, b: Column) -> Column:
-    return wrap_bool(as_bool(a) & as_bool(b))
+    # NOT SQL three-valued logic: an errored/non-boolean operand makes the
+    # whole expression no-result even when the other operand would decide
+    # it (AND(<error>, false) is an error in the reference's StackProgram)
+    ok = (vt(a) == T_BOOLEAN) & (vt(b) == T_BOOLEAN)
+    return F.when(ok, wrap_bool(as_bool(a) & as_bool(b))).otherwise(NULLV())
 
 
 def t_or(a: Column, b: Column) -> Column:
-    return wrap_bool(as_bool(a) | as_bool(b))
+    ok = (vt(a) == T_BOOLEAN) & (vt(b) == T_BOOLEAN)  # see t_and
+    return F.when(ok, wrap_bool(as_bool(a) | as_bool(b))).otherwise(NULLV())
 
 
 def t_not(a: Column) -> Column:
@@ -584,6 +606,10 @@ def _expand_exponent(j: Column) -> Column:
     mant_abs = F.when(neg, F.substr(mant, F.lit(2))).otherwise(mant)
     ip = F.substring_index(mant_abs, ".", 1)
     fp = F.when(F.contains(mant_abs, F.lit(".")), F.substring_index(mant_abs, ".", -1)).otherwise(F.lit(""))
+    # Java keeps a placeholder ".0" in E-notation mantissas ("1.0E-4"):
+    # strip trailing zeros or the expansion renders "0.00010" where the
+    # reference (Rust shortest round-trip) prints "0.0001"
+    fp = F.regexp_replace(fp, "0+$", "")
     digits = F.concat(ip, fp)
     point = F.length(ip) + exp
     shifted = F.when(
@@ -693,7 +719,10 @@ def t_cast_int(a: Column) -> Column:
         .when(dec.rlike("^0x[0-9A-Fa-f]+$"), F.try_to_number(F.conv(F.substr(dec, F.lit(3)), 16, 10), F.lit("999999999999999999")).cast("long")) \
         .otherwise(dec.try_cast("long"))
     from_num = F.when(
-        vt(a).isin(T_DOUBLE, T_FLOAT) & (F.round(vd(a), 0) == vd(a)), vd(a).cast("long")
+        vt(a).isin(T_DOUBLE, T_FLOAT) & (F.round(vd(a), 0) == vd(a)),
+        # try_cast: ANSI mode's plain cast throws CAST_OVERFLOW for doubles
+        # beyond i64 range; the contract is no-result (NULL -> row dropped)
+        vd(a).try_cast("long"),
     )
     return (
         F.when(a.isNull(), NULLV())

@@ -112,6 +112,11 @@ class Resolver:
             p, _, l = name.partition(":")
             if p in self.prefixes:
                 return self.prefixes[p] + l
+            if re.match(r"^[A-Za-z][\w.-]*$", p):
+                # pname-shaped predicate with an UNDECLARED prefix: raise
+                # like term-position pnames do (the silent fallthrough wrote
+                # to a literal 'exx:p' predicate and outputs vanished)
+                raise CompileError(f"unknown prefix {p!r} in predicate {name!r}")
         if re.match(r"^[A-Za-z][A-Za-z0-9_%]*$", name):
             return self.bare(name)
         return name
@@ -673,6 +678,15 @@ def _find_agg(node) -> TAgg | None:
             r = _find_agg(a)
             if r is not None:
                 return r
+    if isinstance(node, TFString):
+        # aggregates inside f-strings normalize like any nested aggregate
+        # (_contains_agg already descends here; without matching descent the
+        # rewrite appended a None head term and died with a cryptic error)
+        for p in node.parts:
+            if not isinstance(p, str):
+                r = _find_agg(p)
+                if r is not None:
+                    return r
     return None
 
 
@@ -681,6 +695,10 @@ def _replace_agg(node, repl):
         return repl
     if isinstance(node, TCall):
         return TCall(node.fn, tuple(_replace_agg(a, repl) for a in node.args))
+    if isinstance(node, TFString):
+        return TFString(
+            tuple(p if isinstance(p, str) else _replace_agg(p, repl) for p in node.parts)
+        )
     return node
 
 

@@ -339,6 +339,10 @@ class Parser:
             types = []
             while not self.accept("PUNCT", ")"):
                 tok = self.next()
+                if tok.kind == "EOF":
+                    # next() does not advance past EOF: without this check
+                    # an unclosed @declare spun forever growing `types`
+                    raise SyntaxError("rls: unclosed @declare type list")
                 if tok.text != ",":
                     types.append(tok.text)
             self.expect("PUNCT", ".")
@@ -395,7 +399,7 @@ class Parser:
         if t.kind in ("NAME", "PNAME", "IRIREF") and self.peek(1).text == "(":
             # could still be a builtin call used as a filter — treat known
             # builtin names as expressions, everything else as atoms
-            if t.text not in _BUILTINS_CI:
+            if t.text.lower() not in _BUILTINS_CI:
                 return ("atom", self._atom())
         return ("expr", self._expr())
 
@@ -572,7 +576,7 @@ class Parser:
         return TMap(tuple(pairs), label)
 
     def _call_args(self, name: str, label_node=None):
-        canon = _BUILTINS_CI.get(name)
+        canon = _BUILTINS_CI.get(name.lower())
         self.expect("PUNCT", "(")
         args = []
         if not self.accept("PUNCT", ")"):
@@ -638,7 +642,9 @@ _BUILTIN_NAMES = [
     "LUKA", "SUM", "PRODUCT", "SUBTRACTION", "DIVISION", "INVERTSIGN", "AND", "OR",
     "CONCAT", "LEVENSHTEIN",
 ]
-_BUILTINS_CI = {n: n for n in _BUILTIN_NAMES}
+# case-insensitive lookup (the corpus uses both STRSTARTS and strStarts
+# casings); keyed lowercase, values are the canonical upper-case names
+_BUILTINS_CI = {n.lower(): n for n in _BUILTIN_NAMES}
 
 
 def parse_rls(src: str) -> ProgramAST:

@@ -58,3 +58,47 @@ def test_misc_numeric(spark):
     assert _one(spark, ops.num_squareroot(F.lit(-1.0))) is None
     assert _one(spark, ops.num_minimum(F.lit(3), F.lit(1), F.lit(2))) == 1
     assert _one(spark, ops.num_maximum(F.lit(3), F.lit(1), F.lit(2))) == 3
+
+
+def test_typed_edge_semantics(spark):
+    """Round-4 review regressions over the typed expression layer: overflow
+    boundaries, error propagation through booleans, f64-preserving
+    ceil/floor, E-notation canonical strings, ANSI-safe INT() cast."""
+    from nemo_spark.functions import typed as TY
+    from nemo_spark.model.values import T_DOUBLE, T_INT, Value
+
+    def ev(col):
+        return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+    def lv(x):
+        return TY.lit_value(x)
+
+    # POW(2,63) overflows i64: no-result (was saturating to i64::MAX)
+    assert ev(TY.t_power(lv(Value.int(2)), lv(Value.int(63)))) is None
+    assert ev(TY.t_power(lv(Value.int(2)), lv(Value.int(62))))["i"] == 2**62
+
+    # CEIL/FLOOR keep f64 beyond 2^63 (were saturating through LONG)
+    big = 1e30
+    assert ev(TY.t_ceil(lv(Value.double(big))))["d"] == big
+    assert ev(TY.t_floor(lv(Value.double(-big))))["d"] == -big
+    assert ev(TY.t_ceil(lv(Value.double(1.5))))["d"] == 2.0
+
+    # INT(1e30): out-of-range cast is no-result, not an ANSI exception
+    assert ev(TY.t_cast_int(lv(Value.double(1e30)))) is None
+    assert ev(TY.t_cast_int(lv(Value.double(4.0))))["i"] == 4
+
+    # AND/OR: an errored operand is never swallowed by the decided side
+    err = TY.t_cast_int(lv(Value.string("abc")))  # evaluation error
+    f = lv(Value.boolean(False))
+    t = lv(Value.boolean(True))
+    assert ev(TY.t_and(err, f)) is None
+    assert ev(TY.t_or(err, t)) is None
+    assert ev(TY.t_and(t, f))["i"] == 0
+
+    # Lukasiewicz: i64 overflow is no-result, not the floor value 0
+    assert ev(TY.t_lukasiewicz(lv(Value.int(2**62)), lv(Value.int(2**62)))) is None
+    assert ev(TY.t_lukasiewicz(lv(Value.int(1)), lv(Value.int(1))))["i"] == 1
+
+    # E-notation expansion drops Java's placeholder mantissa zero
+    assert ev(TY.t_str(lv(Value.double(1e-4))))["s"] == "0.0001"
+    assert ev(TY.t_str(lv(Value.double(1.05e-4))))["s"] == "0.000105"
