@@ -30,7 +30,7 @@ from __future__ import annotations
 import hashlib
 from collections import defaultdict
 
-from nemo_spark.model.rules import Aggregate, Atom, EVar, Rule, Var
+from nemo_spark.model.rules import Aggregate, Atom, EVar, Rule, Var, rule_label
 from nemo_spark.model.values import T_NULL, Value
 
 
@@ -69,11 +69,13 @@ class LocalFixpoint:
         chase: str,
         typed: bool,
         max_derived: int = 5_000_000,
+        stratum_idx: int = 0,
     ) -> None:
         self.tables = {p: set(rows) for p, rows in tables.items()}
         self.arities = dict(arities)
         self.chase = chase
         self.typed = typed
+        self.stratum_idx = stratum_idx  # qualifies auto rule labels
         self.max_derived = max_derived  # raise LocalOverflow beyond this
         self._derived_count = 0
         self.derived: dict[str, set] = defaultdict(set)  # fresh facts per pred
@@ -103,7 +105,7 @@ class LocalFixpoint:
                             next_deltas[derived_pred] |= fresh
                             new_any = True
                             self.records.append(
-                                (derived_pred, rule.label(ri), round_no, frozenset(fresh))
+                                (derived_pred, rule_label(rule, self.stratum_idx, ri), round_no, frozenset(fresh))
                             )
                             self._derived_count += len(fresh)
                             if self._derived_count > self.max_derived:

@@ -52,6 +52,15 @@ def _cols(n: int) -> list[str]:
     return [f"c{i}" for i in range(n)]
 
 
+from nemo_spark.model.rules import rule_label as _rule_label
+
+
+def _VALUE_SCHEMA_T() -> str:
+    from nemo_spark.model.values import VALUE_SCHEMA
+
+    return VALUE_SCHEMA
+
+
 @dataclass
 class RoundMetrics:
     stratum: int
@@ -169,6 +178,9 @@ class SemiNaiveEngine:
         self._provenance: list[tuple[str, str, int, int, DataFrame]] = []
         self._rules_by_label: dict[str, Rule] = {}
         self._tables: dict[str, DataFrame] = {}
+        # base (EDB) facts per predicate: registered tables + inline program
+        # facts + extend() injections — what a non-monotone reset restores
+        self._base_tables: dict[str, DataFrame] = {}
         self._deferred: dict[str, Any] = {}  # pred -> loader (register_deferred)
         # exact row counts per table, maintained at merge time: checkpointed
         # plans lose Catalyst statistics, so without explicit hints every
@@ -214,9 +226,19 @@ class SemiNaiveEngine:
             raise ValueError(
                 f"predicate {pred} is a deferred import; register() would shadow it"
             )
+        tbl = self._history_tables.pop(pred, None)
+        if tbl is not None:
+            # the old history is part of the REPLACED state: keeping it would
+            # suppress re-registered rows as "not fresh" and resurrect old
+            # facts on the next bucketed merge
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         n = len(df.columns)
         df = df.toDF(*_cols(n)).dropDuplicates()
         self._tables[pred] = df
+        # base (non-derived) facts: the restore point for non-monotone
+        # resets — popping the whole table would delete registered EDB rows
+        # of predicates that are also rule heads
+        self._base_tables[pred] = df
         self._arity[pred] = n
         self._schemas[pred] = df.schema
         self._table_counts[pred] = df.count()
@@ -430,10 +452,15 @@ class SemiNaiveEngine:
             df = self.spark.createDataFrame(rows, _cols(self._arity[p]))
             self._tables[p] = self._tables[p].unionByName(df).dropDuplicates() if p in self._tables else df
             self._table_counts[p] = self._tables[p].count()
+            self._base_tables[p] = (
+                self._base_tables[p].unionByName(df).dropDuplicates()
+                if p in self._base_tables
+                else df
+            )
 
-        for s in stratify(program):
+        for si, s in enumerate(stratify(program)):
             for ri, r in enumerate(s):
-                self._rules_by_label.setdefault(r.label(ri), r)
+                self._rules_by_label.setdefault(_rule_label(r, si, ri), r)
         for stratum_idx, rules in enumerate(stratify(program)):
             self._run_stratum(stratum_idx, rules)
         return self.stats
@@ -450,10 +477,22 @@ class SemiNaiveEngine:
         arities = program.predicates()
         for p, n in arities.items():
             self._arity.setdefault(p, n)
+        bad = self._deferred.keys() & new_facts.keys()
+        if bad:
+            # same hazard register() guards: a merged table would silently
+            # shadow the deferred loader for every later rule evaluation
+            raise ValueError(
+                f"deferred import predicates cannot receive extend() facts: {sorted(bad)}"
+            )
         deltas: dict[str, DataFrame] = {}
         counts: dict[str, int] = {}
         for pred, df in new_facts.items():
             df = df.toDF(*_cols(self._arity[pred])).dropDuplicates()
+            self._base_tables[pred] = (
+                self._base_tables[pred].unionByName(df).dropDuplicates()
+                if pred in self._base_tables
+                else df
+            )
             fresh, cnt = self._merge(pred, df)
             if cnt:
                 deltas[pred] = fresh
@@ -464,15 +503,22 @@ class SemiNaiveEngine:
         monotone = all(not r.negated and r.head_aggregate() is None for s in strata for r in s)
         if not monotone:
             # non-monotone: stale IDB facts derived under negation/aggregates
-            # cannot be retracted from append-only tables — reset all IDB
-            # state (tables, counts, provenance) and recompute from the EDB.
-            # Predicates that just received injected facts keep those facts
-            # (they act as EDB for the re-run).
+            # cannot be retracted from append-only tables — reset EVERY IDB
+            # predicate (including ones that just received injections: their
+            # previously DERIVED facts may no longer be derivable) back to
+            # its BASE facts (registered + inline + injected; popping the
+            # whole table would delete registered EDB rows of predicates
+            # that are also rule heads) and recompute.
             idb = {h.pred for s in strata for r in s for h in r.heads()}
-            reset = idb - set(new_facts.keys())
+            reset = set(idb)
             for p in reset:
-                self._tables.pop(p, None)
-                self._table_counts.pop(p, None)
+                if p in self._base_tables:
+                    base = self._base_tables[p]
+                    self._tables[p] = base
+                    self._table_counts[p] = base.count()
+                else:
+                    self._tables.pop(p, None)
+                    self._table_counts.pop(p, None)
                 # a bucketed history table is part of the predicate's state:
                 # leaving it would resurrect retracted facts on the next
                 # merge (the anti-join would read the stale managed table)
@@ -524,11 +570,13 @@ class SemiNaiveEngine:
                 continue
             for hp, derived in derived_map.items():
                 fresh, cnt = self._merge(hp, derived)
-                self._record(stratum_idx, round_idx, rule.label(ri), cnt, time.time() - t0)
+                self._record(stratum_idx, round_idx, _rule_label(rule, stratum_idx, ri), cnt, time.time() - t0)
                 t0 = time.time()
                 if cnt:
                     if self.trace:
-                        self._provenance.append((hp, rule.label(ri), stratum_idx, round_idx, fresh))
+                        self._provenance.append(
+                            (hp, _rule_label(rule, stratum_idx, ri), stratum_idx, round_idx, fresh)
+                        )
                     new_any = True
                     # freshes of the same pred are disjoint (each anti-join ran
                     # against the table already containing earlier freshes),
@@ -591,7 +639,7 @@ class SemiNaiveEngine:
                         merged_map[hp] = merged_map[hp].unionByName(d) if hp in merged_map else d
                 for hp, derived in merged_map.items():
                     per_pred[hp] = per_pred[hp].unionByName(derived) if hp in per_pred else derived
-                    per_pred_rules.setdefault(hp, []).append(rule.label(ri))
+                    per_pred_rules.setdefault(hp, []).append(_rule_label(rule, stratum_idx, ri))
                     t_eval[hp] = t_eval.get(hp, 0.0) + (time.time() - t0)
             next_delta: dict[str, DataFrame] = {}
             next_counts: dict[str, int] = {}
@@ -631,10 +679,13 @@ class SemiNaiveEngine:
             # this round's merges materialized every frame that read staged
             # SPARQL pages: release them (see _run_stratum round 0)
             release_staging(mark)
-            # checkpoint cadence: truncate plan lineage (nemo defrag analogue)
+            # checkpoint cadence: truncate plan lineage (nemo defrag analogue).
+            # Bucketed-history predicates are skipped: their handle is already
+            # a trivial managed-table scan with no lineage growth, and eagerly
+            # materializing the accumulated history would defeat the bucketing
             if round_idx % self.checkpoint_every == 0:
                 for p in idb:
-                    if p in self._tables:
+                    if p in self._tables and p not in self._history_tables:
                         self._tables[p] = self._checkpoint(p, self._tables[p], round_idx)
 
     def _try_local_stratum(self, stratum_idx: int, rules: list[Rule]) -> bool:
@@ -691,7 +742,13 @@ class SemiNaiveEngine:
                 rows.add(tuple(tuple(c) if isinstance(c, Row) else c for c in r))
             tables[p] = rows
             typed = typed or _is_value_struct_df(self._tables[p])
-        lf = LocalFixpoint(tables, {p: self._arity[p] for p in preds if p in self._arity}, self.chase, typed)
+        lf = LocalFixpoint(
+            tables,
+            {p: self._arity[p] for p in preds if p in self._arity},
+            self.chase,
+            typed,
+            stratum_idx=stratum_idx,
+        )
         from nemo_spark.engine.local_fixpoint import LocalOverflow
 
         try:
@@ -1203,7 +1260,7 @@ class SemiNaiveEngine:
             elif isinstance(t, Var):
                 exprs.append(F.col(t.name).alias(f"c{i}"))
             else:
-                exprs.append(F.lit(t).alias(f"c{i}"))
+                exprs.append(_lit_term(t).alias(f"c{i}"))
         return res.select(*exprs)
 
     def _project_aggregate_typed(
@@ -1229,19 +1286,41 @@ class SemiNaiveEngine:
             aggs = [F.count(col).alias(agg_alias)]
             wrap = TY.mk(T_INT, F.col(agg_alias), 0.0, "")
         else:  # sum
+            from nemo_spark.model.values import T_ULONG
+
             aggs = [
                 F.sum(F.when(col.getField("t") == T_INT, col.getField("i"))).alias("__si"),
                 F.sum(F.when(col.getField("t").isin(T_FLOAT, T_DOUBLE), col.getField("d"))).alias("__sd"),
+                # u64 values beyond i64 (wrapped payloads): summed in f64
+                # (they cannot contribute to an exact i64 total anyway)
+                F.sum(
+                    F.when(
+                        col.getField("t") == T_ULONG,
+                        col.getField("i").cast("double") + F.lit(float(1 << 64)),
+                    )
+                ).alias("__su"),
                 F.count(F.when(col.getField("t") == T_FLOAT, F.lit(1))).alias("__nf"),
                 F.count(F.when(col.getField("t") == T_DOUBLE, F.lit(1))).alias("__nd"),
                 F.count(F.when(col.getField("t") == T_INT, F.lit(1))).alias("__ni"),
+                F.count(F.when(col.getField("t") == T_ULONG, F.lit(1))).alias("__nu"),
             ]
-            total_d = F.coalesce(F.col("__sd"), F.lit(0.0)) + F.coalesce(
-                F.col("__si"), F.lit(0).cast("long")
-            ).cast("double")
+            total_d = (
+                F.coalesce(F.col("__sd"), F.lit(0.0))
+                + F.coalesce(F.col("__su"), F.lit(0.0))
+                + F.coalesce(F.col("__si"), F.lit(0).cast("long")).cast("double")
+            )
+            ints_only = (F.col("__nf") == 0) & (F.col("__nd") == 0)
             wrap = (
-                F.when((F.col("__nf") == 0) & (F.col("__nd") == 0), TY.wrap_int(F.col("__si")))
-                .when((F.col("__ni") == 0) & (F.col("__nd") == 0), TY.wrap_float(total_d))
+                # any u64-range operand makes an exact i64 total impossible:
+                # integer-only groups containing one are no-result (overflow),
+                # matching checked i64 summation; previously ULONG rows were
+                # silently EXCLUDED from the total
+                F.when(ints_only & (F.col("__nu") == 0), TY.wrap_int(F.col("__si")))
+                .when(ints_only, F.lit(None).cast(_VALUE_SCHEMA_T()))
+                .when(
+                    (F.col("__ni") == 0) & (F.col("__nd") == 0) & (F.col("__nu") == 0),
+                    TY.wrap_float(total_d),
+                )
                 .otherwise(TY.wrap_double(total_d))
             )
         res = deduped.groupBy(*group_vars).agg(*aggs) if group_vars else deduped.agg(*aggs)
@@ -1488,9 +1567,16 @@ def _py_const_matches_spark_type(t: Any, dtype: Any) -> bool:
 
 
 def _lit_term(t: Any) -> Column:
-    """Literal column for a constant term: typed Values get struct literals."""
+    """Literal column for a constant term: typed Values get struct literals;
+    collected value-struct Rows (trace witnesses) convert the same way
+    (F.lit on a Row builds an ARRAY literal that cannot compare against a
+    struct column)."""
+    from pyspark.sql import Row
+
     from nemo_spark.model.values import Value
 
+    if isinstance(t, Row) and set(t.__fields__) == {"t", "i", "d", "s"}:
+        t = Value(t["t"], t["i"], t["d"], t["s"])
     if isinstance(t, Value):
         from nemo_spark.functions.typed import lit_value
 

@@ -168,6 +168,14 @@ class Rule:
         return self.name or f"rule_{idx}"
 
 
+def rule_label(rule: "Rule", stratum_idx: int, ri: int) -> str:
+    """Stable display label: the rule's name, or a STRATUM-qualified auto
+    name — per-stratum 'rule_0' labels collided across strata in the
+    engine's _rules_by_label and trace_tree silently lost derivation
+    subtrees for later strata."""
+    return rule.name or (f"rule_{ri}" if stratum_idx == 0 else f"rule_{stratum_idx}_{ri}")
+
+
 @dataclass
 class Program:
     """A set of rules + inline facts (EDB tables are registered on the engine).

@@ -407,8 +407,8 @@ def test_local_fixpoint_overflow_falls_back_distributed(spark):
 
     orig = lf_mod.LocalFixpoint.__init__
 
-    def patched(self, tables, arities, chase, typed, max_derived=5_000_000):
-        orig(self, tables, arities, chase, typed, max_derived=1_000)
+    def patched(self, tables, arities, chase, typed, max_derived=5_000_000, **kw):
+        orig(self, tables, arities, chase, typed, max_derived=1_000, **kw)
 
     lf_mod.LocalFixpoint.__init__ = patched
     try:
@@ -626,3 +626,61 @@ def test_checkpoint_store_iri_names_and_empty_lineage(spark, tmp_path):
     store.snapshot("a__b", df, 2)
     assert [m["step"] for m in store.metrics("a")] == [1]
     assert [m["step"] for m in store.metrics("a__b")] == [2]
+
+
+def test_extend_nonmonotone_restores_base_facts(spark):
+    """Non-monotone extend(): registered EDB facts of predicates that are
+    ALSO rule heads survive the reset, and previously DERIVED facts of
+    injected predicates that are no longer derivable are retracted."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X = Var("x")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("p", X), body=[Atom("q", X)], negated=[Atom("r", X)]),
+            Rule(head=Atom("r", X), body=[Atom("s", X)]),
+        ]
+    )
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng.register("q", spark.createDataFrame([(1,), (2,)], "v long"))
+    eng.register("s", spark.createDataFrame([(9,)], "v long"))
+    # p is ALSO registered EDB (base facts) and a rule head
+    eng.register("p", spark.createDataFrame([(100,)], "v long"))
+    eng.run(prog)
+    assert sorted(r.c0 for r in eng.table("p").collect()) == [1, 2, 100]
+
+    # inject s(1): p(1) is no longer derivable (r(1) now holds); the base
+    # fact p(100) must survive the reset
+    eng.extend(prog, {"s": spark.createDataFrame([(1,)], "v long")})
+    assert sorted(r.c0 for r in eng.table("p").collect()) == [2, 100]
+    assert sorted(r.c0 for r in eng.table("r").collect()) == [1, 9]
+
+    # injecting facts into an IDB predicate: stale derived facts retract,
+    # the injected fact persists as base
+    eng.extend(prog, {"p": spark.createDataFrame([(500,)], "v long"),
+                      "s": spark.createDataFrame([(2,)], "v long")})
+    assert sorted(r.c0 for r in eng.table("p").collect()) == [100, 500]
+
+
+def test_rule_labels_unique_across_strata(spark):
+    """Unnamed rules in different strata get distinct auto labels, so
+    trace_tree resolves the right rule for later-stratum facts."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+
+    X = Var("x")
+    prog = Program(
+        rules=[
+            Rule(head=Atom("a", X), body=[Atom("e", X)]),
+            # negation forces 'b' into a later stratum
+            Rule(head=Atom("b", X), body=[Atom("e", X)], negated=[Atom("a", X)]),
+        ]
+    )
+    eng = SemiNaiveEngine(spark, trace=True, local_stratum_threshold=0)
+    eng.register("e", spark.createDataFrame([(1,)], "v long"))
+    eng.run(prog)
+    labels = {lbl for lbl in eng._rules_by_label}
+    assert len(labels) == 2, labels
+    tree = eng.trace_tree("a", (1,))
+    assert tree is not None and tree["premises"], tree  # subtree not lost

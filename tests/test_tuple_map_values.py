@@ -255,3 +255,58 @@ def test_export_serialization_exact_ints_with_nulls(spark):
     assert got == sorted(
         [str(big), str(-big), str(2**63 - 1), None], key=lambda x: (x is None, x)
     )
+
+
+def test_typed_sum_ulong_semantics(spark):
+    """#sum with u64-range operands: integer-only groups overflow i64 and
+    are no-result (previously ULONG rows were silently EXCLUDED from the
+    total); mixed with doubles the sum is f64 including the u64 value."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var, agg
+    from nemo_spark.model.values import T_DOUBLE, Value
+    from nemo_spark.sources.dsv_typed import typed_rows_df
+
+    X, G = Var("x"), Var("g")
+    prog = Program(rules=[Rule(Atom("s", G, agg.sum(X)), [Atom("p", G, X)])])
+
+    big = Value.int(2**63)  # T_ULONG
+    rows = [
+        (Value.string("ints"), Value.int(1)),
+        (Value.string("ints"), big),
+        (Value.string("mixed"), Value.double(1.5)),
+        (Value.string("mixed"), big),
+        (Value.string("plain"), Value.int(7)),
+    ]
+    eng = SemiNaiveEngine(spark, local_stratum_threshold=0)
+    eng.register("p", typed_rows_df(spark, rows, 2))
+    eng.run(prog)
+    got = {r.c0["s"]: r.c1 for r in eng.table("s").collect()}
+    assert "ints" not in got  # i64 overflow: group dropped (no-result)
+    assert got["plain"]["i"] == 7
+    assert got["mixed"]["t"] == T_DOUBLE
+    assert got["mixed"]["d"] == 1.5 + float(2**63)
+
+
+def test_trace_tree_typed_values(spark):
+    """trace_tree over a TYPED program: witness rows come back as struct
+    Rows and must compare as struct literals (F.lit(Row) built an array
+    literal and the trace crashed)."""
+    from nemo_spark.engine.seminaive import SemiNaiveEngine
+    from nemo_spark.model.rules import Atom, Program, Rule, Var
+    from nemo_spark.model.values import Value
+    from nemo_spark.sources.dsv_typed import typed_rows_df
+
+    X, Y, Z = Var("x"), Var("y"), Var("z")
+    prog = Program(
+        rules=[
+            Rule(Atom("tc", X, Y), [Atom("edge", X, Y)], name="base"),
+            Rule(Atom("tc", X, Z), [Atom("tc", X, Y), Atom("edge", Y, Z)], name="step"),
+        ]
+    )
+    a, b, c = Value.iri("a"), Value.iri("b"), Value.iri("c")
+    eng = SemiNaiveEngine(spark, trace=True, local_stratum_threshold=0)
+    eng.register("edge", typed_rows_df(spark, [(a, b), (b, c)], 2))
+    eng.run(prog)
+    tree = eng.trace_tree("tc", (a, c))
+    assert tree is not None and tree["rule"] == "step"
+    assert tree["premises"], tree
