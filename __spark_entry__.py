@@ -531,6 +531,7 @@ def q_sparql_import(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         srv.shutdown()
+        srv.server_close()
     return df.select(
         F.col("c0.s").alias("nation_iri"), F.col("c1.s").alias("n_name")
     )
@@ -687,6 +688,7 @@ out(?nm, ?rm) :- inr(?n, ?r), nn(?n, ?nm), rn(?r, ?rm) .
         ).localCheckpoint(eager=True)
     finally:
         srv.shutdown()
+        srv.server_close()
     if len(requests) != 1:  # the merged import must be ONE remote exchange
         raise AssertionError(f"expected 1 merged request, saw {len(requests)}")
     return out
@@ -962,7 +964,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN e e2 ON e1.b = e2.a
             JOIN e e3 ON e2.b = e3.a AND e3.b = e1.a
         """,
-        "kg_link_scored": _KG_LINK_SCORED_SQL,
+        "kg_link_scored": _kg_link_scored_sql(),
         "knn_bucketed": _knn_bucketed_sql(),
         "text_fingerprint": """
             SELECT doc_id, md5(array_to_string(string_split(text, ' '), ' ')) AS fp_md5
@@ -1084,7 +1086,7 @@ SELECT mention, entity_id, ROUND(score, 6) AS score FROM best WHERE rn = 1
 """
 
 
-_KG_LINK_SCORED_SQL = _kg_link_scored_sql()
+
 
 
 _MINHASH_CTES = """

@@ -43,9 +43,18 @@ def run_kg_pipeline(spark, n_turns: int, transcripts=None) -> dict:
 def bench(sf_dir: str, master: str | None = None) -> dict:
     from nemo_spark.session import get_spark
 
+    spark = get_spark(app_name="nemo_spark_bench", master=master)
+    try:
+        return _bench_inner(spark, sf_dir)
+    finally:
+        # stop on EVERY path: a raising query must not leave the JVM's GC
+        # threads contaminating later measurements
+        spark.stop()
+
+
+def _bench_inner(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="nemo_spark_bench", master=master)
     sf = _sf_from_dir(sf_dir)
     queries = {}
 
@@ -90,7 +99,6 @@ def bench(sf_dir: str, master: str | None = None) -> dict:
         "triples": kg["triples"],
         "master": spark.sparkContext.master,
     }
-    spark.stop()
     return out
 
 
@@ -121,7 +129,7 @@ def scaling_leg(cores: int, corpus_dir: str, n_turns: int, trials: int | None = 
         # the shared host has bursty hypervisor steal (observed: identical
         # back-to-back runs spanning 14s-51s); more trials = better odds of
         # one clean window per leg. Best trial is kept, steal recorded.
-        trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+        trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     _prewarm_page_cache(corpus_dir)
     spark = get_spark(app_name=f"nemo_spark_scaling_{cores}", master=f"local[{cores}]")
     warm = spark.read.parquet(corpus_dir).limit(20_000)
@@ -170,15 +178,30 @@ def bench_scaling(sf_dir: str) -> dict:
             [sys.executable, os.path.abspath(__file__), *args],
             capture_output=True,
             text=True,
-            check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        return out.stdout.strip().splitlines()[-1]
+        if out.returncode != 0:
+            # surface the leg's actual failure (a bare CalledProcessError
+            # hides the Spark stack trace captured in stderr)
+            raise RuntimeError(
+                f"scaling leg {args} failed ({out.returncode}):\n{out.stderr[-4000:]}"
+            )
+        lines = out.stdout.strip().splitlines()
+        if not lines:
+            raise RuntimeError(f"scaling leg {args} produced no output:\n{out.stderr[-2000:]}")
+        return lines[-1]
 
-    sub(["--gen-corpus", corpus_dir, str(n_turns)])
-    results = {}
-    for cores in (8, 32):
-        results[cores] = json.loads(sub(["--scaling-leg", str(cores), corpus_dir, str(n_turns)]))
+    try:
+        sub(["--gen-corpus", corpus_dir, str(n_turns)])
+        results = {}
+        for cores in (8, 32):
+            results[cores] = json.loads(
+                sub(["--scaling-leg", str(cores), corpus_dir, str(n_turns)])
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # multi-GB corpus: never leak
     t8, t32 = results[8]["wall"], results[32]["wall"]
     e8, e32 = results[8]["extract_wall"], results[32]["extract_wall"]
     return {

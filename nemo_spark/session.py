@@ -40,6 +40,18 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    active = SparkSession.getActiveSession()
+    if active is not None and active.sparkContext.master != master:
+        # getOrCreate returns the EXISTING session with its original master
+        # and configs; measurements would silently run at the wrong
+        # parallelism (benchmark legs avoid this with subprocess isolation)
+        import warnings
+
+        warnings.warn(
+            f"get_spark: active session has master={active.sparkContext.master!r}, "
+            f"requested {master!r} ignored (stop the session first)",
+            stacklevel=2,
+        )
     return b.getOrCreate()
 
 
