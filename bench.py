@@ -78,6 +78,7 @@ def _bench_inner(spark, sf_dir: str) -> dict:
         "text_quality",
         "knn_cosine",
         "kg_extract",
+        "kg_mentions",
         "kg_materialized",
     ]
     qmap = entrymod.queries()

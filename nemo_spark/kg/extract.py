@@ -217,37 +217,64 @@ def extract_triples_reduced_pandas(transcripts: DataFrame, min_quality: float = 
 
 MENTIONS_SCHEMA = "conv_id string, turn_idx int, mention string, span_start int, span_end int"
 
+# MENTION_RE with an explicit lazy prefix group: ``re.search(MENTION_RE, s)``
+# and ``re.match(_MENTION_SPAN_RE, s)`` find the SAME leftmost match, but the
+# prefix group's length IS the match offset — so one vectorized
+# ``str.extract`` recovers true character spans with no per-row Python.
+# ``(?s)`` lets the prefix cross newlines (turn text may be multi-line).
+_MENTION_SPAN_RE = re.compile(r"(?s)\A(.*?)" + MENTION_RE)
+
 
 def extract_mentions_pandas(transcripts: DataFrame) -> DataFrame:
     """Mention spans per turn (FIXTURES §3 ``mentions`` schema): both aliases
-    of the first relation sentence with their TRUE character offsets, taken
-    from the regex match object itself — MENTION_RE is unanchored, so
-    matches need not start at offset 0 (the old vectorized arithmetic
-    assumed they did and reported shifted spans for mid-text matches)."""
-    pattern = re.compile(MENTION_RE)
+    of the first relation sentence with their TRUE character offsets.
+
+    Fully vectorized: a single ``str.extract`` with a lazy prefix capture
+    gives the match offset as ``len(prefix)`` (MENTION_RE is unanchored, so
+    matches need not start at offset 0); group offsets inside the match
+    follow arithmetically because MENTION_RE's separators are literal single
+    spaces. Matches the per-row ``pattern.search`` semantics exactly while
+    keeping the whole batch in pandas C string kernels."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            cols: dict[str, list] = {
-                "conv_id": [], "turn_idx": [], "mention": [],
-                "span_start": [], "span_end": [],
-            }
-            for conv_id, turn_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
-            ):
-                m = pattern.search(text) if text is not None else None
-                if m is None:
-                    continue
-                for g in (1, 3):  # subj alias, obj alias groups
-                    cols["conv_id"].append(conv_id)
-                    cols["turn_idx"].append(turn_idx)
-                    cols["mention"].append(m.group(g))
-                    cols["span_start"].append(m.start(g))
-                    cols["span_end"].append(m.end(g))
-            if cols["mention"]:
-                yield pd.DataFrame(cols)
+            hits = pdf["text"].str.extract(_MENTION_SPAN_RE)
+            hits.columns = ["prefix", "subj", "pred", "obj"]
+            mask = hits["subj"].notna()
+            if not mask.any():
+                continue
+            hits = hits[mask]
+            keys = pdf.loc[mask, ["conv_id", "turn_idx"]]
+            subj_start = hits["prefix"].str.len().astype("int64")
+            subj_end = subj_start + hits["subj"].str.len()
+            obj_start = subj_end + 1 + hits["pred"].str.len() + 1
+            obj_end = obj_start + hits["obj"].str.len()
+            subj_rows = pd.DataFrame(
+                {
+                    "conv_id": keys["conv_id"].to_numpy(),
+                    "turn_idx": keys["turn_idx"].to_numpy(),
+                    "mention": hits["subj"].to_numpy(),
+                    "span_start": subj_start.to_numpy(),
+                    "span_end": subj_end.to_numpy(),
+                    "_g": 0,
+                }
+            )
+            obj_rows = pd.DataFrame(
+                {
+                    "conv_id": keys["conv_id"].to_numpy(),
+                    "turn_idx": keys["turn_idx"].to_numpy(),
+                    "mention": hits["obj"].to_numpy(),
+                    "span_start": obj_start.to_numpy(),
+                    "span_end": obj_end.to_numpy(),
+                    "_g": 1,
+                }
+            )
+            subj_rows["_i"] = obj_rows["_i"] = range(len(hits))
+            out = pd.concat([subj_rows, obj_rows], ignore_index=True)
+            out = out.sort_values(["_i", "_g"], kind="stable", ignore_index=True)
+            yield out.drop(columns=["_i", "_g"])
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(extract, schema=MENTIONS_SCHEMA)
 

@@ -300,6 +300,45 @@ def test_mention_spans_mid_text(spark):
     assert rows["ent-2"] == (24, 29)
 
 
+def test_mention_spans_match_per_row_search(spark):
+    """The vectorized span extractor (prefix-capture ``str.extract``) must
+    agree exactly with the per-row ``re.search`` model on adversarial texts:
+    decoy near-matches before the real match, multi-line prefixes, repeated
+    identical sentences (leftmost wins), None/empty/no-match rows."""
+    import re
+
+    from nemo_spark.kg.extract import MENTION_RE, extract_mentions_pandas
+
+    texts = [
+        "entity_1 works_at ent-2 .",
+        "entity_9 works_near ent-3 . then entity_7 located_in E.4 .",  # decoy pred
+        "line one\nline two entity_5 part_of entity_6 . trailing",
+        "ent- entity_ E. entity_12 works_at E.13 .",  # decoy alias prefixes
+        "E.1 part_of E.2 . E.1 part_of E.2 .",  # repeated: leftmost only
+        "no relation sentence here",
+        "",
+        None,
+        "x" * 500 + " ent-88 located_in entity_99 .",
+    ]
+    tr = spark.createDataFrame(
+        [(f"c{i}", i, t) for i, t in enumerate(texts)],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.mention, r.span_start, r.span_end)
+        for r in extract_mentions_pandas(tr).collect()
+    )
+    pat = re.compile(MENTION_RE)
+    want = []
+    for i, t in enumerate(texts):
+        m = pat.search(t) if t is not None else None
+        if m is None:
+            continue
+        for g in (1, 3):
+            want.append((f"c{i}", i, m.group(g), m.start(g), m.end(g)))
+    assert got == sorted(want)
+
+
 def test_turn_features_keep_non_relation_turns(spark):
     """The one-pass feature extractor keeps a row per turn — quality/langid/
     fingerprint features of turns WITHOUT a relation sentence must survive
