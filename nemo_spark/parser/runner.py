@@ -29,10 +29,11 @@ from nemo_spark.sources.dsv_typed import (
 
 _EXT = {
     "csv": "csv", "tsv": "tsv", "dsv": "dsv",
-    "ntriples": "nt", "nquads": "nq", "turtle": "ttl", "trig": "trig", "rdf": "nt",
+    "ntriples": "nt", "nquads": "nq", "turtle": "ttl", "trig": "trig",
+    "rdfxml": "rdf", "rdf": "nt",
 }
 _DELIM = {"csv": ",", "tsv": "\t"}
-_RDF_FMTS = ("ntriples", "nquads", "turtle", "trig", "rdf")
+_RDF_FMTS = ("ntriples", "nquads", "turtle", "trig", "rdfxml", "rdf")
 
 
 @contextmanager
@@ -271,7 +272,7 @@ class RlsRunner:
                 ignore_headers=(ignore_headers is not None and ignore_headers.lexical() == "true"),
             )
             return df, len([f for f in fmts if f != "skip"])
-        if imp.fmt in ("rdf", "ntriples", "turtle", "nquads"):
+        if imp.fmt in ("rdf", "ntriples", "turtle", "nquads", "trig", "rdfxml"):
             from nemo_spark.sources.rdf_typed import read_rdf_typed
 
             df = read_rdf_typed(self.spark, res, imp.fmt)

@@ -292,11 +292,14 @@ class _TurtleParser:
 
 
 def _rdfxml_triples(text: str, scope: str = "") -> list[tuple]:
-    """Minimal RDF/XML subset (reference corpus shapes): rdf:Description with
-    rdf:about / attribute properties / nested descriptions / rdf:resource."""
+    """RDF/XML subset (reference corpus shapes + what our own writer emits):
+    rdf:Description with rdf:about / rdf:nodeID, attribute properties,
+    nested descriptions, rdf:resource / rdf:nodeID objects, rdf:datatype
+    typed literals and xml:lang language strings."""
     import xml.etree.ElementTree as ET
 
     RDF_NS = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+    XML_NS = "{http://www.w3.org/XML/1998/namespace}"
     root = ET.fromstring(text)
     out: list[tuple] = []
     bnode = [0]
@@ -304,16 +307,23 @@ def _rdfxml_triples(text: str, scope: str = "") -> list[tuple]:
     def expand(tag: str) -> str:
         return tag[1:].replace("}", "", 1) if tag.startswith("{") else tag
 
+    def named_null(label: str) -> Value:
+        # 'n.' namespace: disjoint from anonymous 'a.' and Turtle's 'e.'
+        return Value.null(f"{scope}n.{label}" if scope else label)
+
     def node_value(el) -> Value:
         about = el.get(RDF_NS + "about")
+        node_id = el.get(RDF_NS + "nodeID")
         if about is not None:
             v = Value.iri(about)
+        elif node_id is not None:
+            v = named_null(node_id)
         else:
             bnode[0] += 1
             v = Value.null(f"{scope}a.{bnode[0]}" if scope else f"x{bnode[0]}")
-        # attribute properties (skip rdf: attrs)
+        # attribute properties (skip rdf:/xml: attrs)
         for k, val in el.attrib.items():
-            if k.startswith(RDF_NS):
+            if k.startswith(RDF_NS) or k.startswith(XML_NS):
                 continue
             out.append((v, Value.iri(expand(k)), Value.string(val)))
         # property elements
@@ -323,12 +333,24 @@ def _rdfxml_triples(text: str, scope: str = "") -> list[tuple]:
             if res is not None:
                 out.append((v, p, Value.iri(res)))
                 continue
+            nid = prop.get(RDF_NS + "nodeID")
+            if nid is not None:
+                out.append((v, p, named_null(nid)))
+                continue
             desc = list(prop)
             if desc:
                 child = node_value(desc[0])
                 out.append((v, p, child))
-            elif prop.text is not None:
-                out.append((v, p, Value.string(prop.text)))
+                continue
+            lex = prop.text if prop.text is not None else ""
+            dt = prop.get(RDF_NS + "datatype")
+            lang = prop.get(XML_NS + "lang")
+            if dt is not None:
+                out.append((v, p, from_typed_literal(lex, dt)))
+            elif lang is not None:
+                out.append((v, p, Value.lang_string(lex, lang)))
+            else:
+                out.append((v, p, Value.string(lex)))
         return v
 
     for el in root:
@@ -351,7 +373,15 @@ def _read_rdf_doc(spark: SparkSession, path: str, fmt: str) -> DataFrame:
 
                 scope = _hl.md5(text.encode()).hexdigest()[:8] + "."
                 if fmt == "rdfxml":
-                    rows = _rdfxml_triples(text, scope)
+                    # a file may hold several concatenated standalone
+                    # documents (our writer emits one per partition; a
+                    # downstream coalesce merges them into one part file) —
+                    # split on the XML declaration and parse each, with a
+                    # per-document bnode scope
+                    docs = [d for d in re.split(r"(?=<\?xml\b)", text) if d.strip()]
+                    rows = []
+                    for k, doc in enumerate(docs):
+                        rows.extend(_rdfxml_triples(doc, f"{scope}{k}." if len(docs) > 1 else scope))
                 else:
                     rows = _TurtleParser(_ttl_tokens(text), quads, scope).parse()
                 for row in rows:
@@ -362,15 +392,84 @@ def _read_rdf_doc(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     return spark.read.text(path, wholetext=True).mapInPandas(parse, schema=schema)
 
 
-def serialize_rdf_typed(df: DataFrame, fmt: str = "ntriples") -> DataFrame:
-    """Typed value table -> one string column of N-Triples / N-Quads lines.
+# local part of an XML QName (NCName subset; medial dots/dashes allowed)
+_NCNAME_RE = re.compile(r"[A-Za-z_][\w.-]*$")
 
-    Reference semantics (``nemo/src/io/formats/rdf/writer.rs:241-305``):
+
+def _split_qname(iri: str) -> tuple[str, str] | None:
+    """Split a predicate IRI into (namespace, local) at the last '#' / '/' /
+    ':' whose remainder is a valid XML local name; None if unsplittable."""
+    for i in range(len(iri) - 1, -1, -1):
+        if iri[i] in "#/:":
+            local = iri[i + 1 :]
+            if local and _NCNAME_RE.match(local):
+                return iri[: i + 1], local
+            # an earlier split would put this separator char inside the
+            # local name, which NCName forbids — unsplittable
+            return None
+    return None
+
+
+_RDFXML_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+)
+
+
+def _rdfxml_line(s: Value, p: Value, o: Value) -> str | None:
+    """One self-contained rdf:Description element per triple. The predicate
+    element declares its own namespace (xmlns:ns0) so every line is
+    independent — no shared prefix table across partitions/rows, which is
+    what makes the document safely writable in parallel."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    from nemo_spark.model.values import T_IRI, T_LANG, T_NULL, T_STRING
+
+    split = _split_qname(p.s)
+    if split is None:
+        return None  # predicate not expressible as an XML QName
+    ns, local = split
+    subj_attr = (
+        f"rdf:about={quoteattr(s.s)}" if s.t == T_IRI else f"rdf:nodeID={quoteattr(s.s)}"
+    )
+    open_tag = f"ns0:{local} xmlns:ns0={quoteattr(ns)}"
+    if o.t == T_IRI:
+        prop = f"<{open_tag} rdf:resource={quoteattr(o.s)}/>"
+    elif o.t == T_NULL:
+        prop = f"<{open_tag} rdf:nodeID={quoteattr(o.s)}/>"
+    elif o.t == T_STRING:
+        prop = f"<{open_tag}>{escape(o.s)}</ns0:{local}>"
+    elif o.t == T_LANG:
+        text, tag = o.lang_pair()
+        prop = f"<{open_tag} xml:lang={quoteattr(tag)}>{escape(text)}</ns0:{local}>"
+    else:
+        prop = (
+            f"<{open_tag} rdf:datatype={quoteattr(o.datatype_iri())}>"
+            f"{escape(o.lexical())}</ns0:{local}>"
+        )
+    return f"<rdf:Description {subj_attr}>{prop}</rdf:Description>"
+
+
+def serialize_rdf_typed(df: DataFrame, fmt: str = "ntriples") -> DataFrame:
+    """Typed value table -> one string column of RDF serialization lines.
+
+    Reference semantics (``nemo/src/io/formats/rdf/writer.rs:241-305,389-397``):
     rows whose subject is not an IRI / blank node, or whose predicate (or
     graph, for quads) is not an IRI, are DROPPED (set_*_from_datavalue
     returning false skips the record); objects may be any term. Quads use
-    the reader's (graph, s, p, o) column layout. ``turtle`` emits the same
-    line set (every N-Triples document is valid Turtle)."""
+    the reader's (graph, s, p, o) column layout.
+
+    Formats: ``ntriples`` / ``nquads`` emit one term-per-row line;
+    ``turtle`` emits the same line set as ntriples (every N-Triples document
+    is valid Turtle); ``trig`` emits default-graph triples bare and named
+    graphs as one-line ``<g> { s p o . }`` blocks (valid TriG, line-oriented
+    so partitions serialize independently); ``rdfxml`` wraps each PARTITION
+    in its own well-formed RDF/XML document (header + one self-contained
+    rdf:Description per triple + footer) — every part file parses standalone,
+    which is how an XML format shards across a 1000-executor write. RDF/XML
+    additionally drops triples whose predicate IRI cannot split into an XML
+    QName (the underlying XML writer in the reference errors there; we keep
+    the writer's skip-and-count discipline instead of failing the job)."""
     from nemo_spark.model.values import T_IRI, T_NULL
 
     quads = fmt in ("nquads", "trig")
@@ -379,26 +478,47 @@ def serialize_rdf_typed(df: DataFrame, fmt: str = "ntriples") -> DataFrame:
     if len(cols) != expected:
         raise ValueError(f"{fmt} export needs arity {expected}, got {len(cols)}")
 
+    def row_line(vals: list[Value]) -> str | None:
+        if quads:
+            g, s, p, o = vals
+        else:
+            s, p, o = vals
+            g = None
+        if s.t not in (T_IRI, T_NULL) or p.t != T_IRI:
+            return None  # writer.rs drop semantics
+        if g is not None and g.t not in (T_IRI, T_NULL):
+            return None
+        if fmt == "rdfxml":
+            return _rdfxml_line(s, p, o)
+        triple = f"{s.rdf_term()} {p.rdf_term()} {o.rdf_term()} ."
+        if g is None:
+            return triple
+        if fmt == "trig":
+            # default graph (empty IRI, the reader's representation) at top
+            # level; named graphs as per-quad one-line blocks
+            if g.t == T_IRI and g.s == "":
+                return triple
+            return f"{g.rdf_term()} {{ {triple} }}"
+        return f"{s.rdf_term()} {p.rdf_term()} {o.rdf_term()} {g.rdf_term()} ."
+
     def ser(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        started = False
         for pdf in batches:
             out = []
             for row in zip(*[pdf[c] for c in cols]):
                 vals = [None if c is None else Value(c["t"], c["i"], c["d"], c["s"]) for c in row]
                 if any(v is None for v in vals):
                     continue
-                if quads:
-                    g, s, p, o = vals
-                else:
-                    s, p, o = vals
-                    g = None
-                if s.t not in (T_IRI, T_NULL) or p.t != T_IRI:
-                    continue  # writer.rs drop semantics
-                if g is not None and g.t not in (T_IRI, T_NULL):
+                line = row_line(vals)
+                if line is None:
                     continue
-                line = f"{s.rdf_term()} {p.rdf_term()} {o.rdf_term()}"
-                if g is not None:
-                    line += f" {g.rdf_term()}"
-                out.append(line + " .")
-            yield pd.DataFrame({"value": out})
+                out.append(line)
+            if fmt == "rdfxml" and out and not started:
+                out.insert(0, _RDFXML_HEADER)
+                started = True
+            if out:
+                yield pd.DataFrame({"value": out})
+        if started:
+            yield pd.DataFrame({"value": ["</rdf:RDF>"]})
 
     return df.mapInPandas(ser, schema="value string")

@@ -1,0 +1,130 @@
+"""RDF/XML and TriG export (writer.rs:389-397 parity).
+
+The reference writer emits all five RDF variants; ``rdfxml`` exports triples
+and ``trig`` exports quads through the same drop-semantics path as
+ntriples/nquads (``nemo/src/io/formats/rdf/writer.rs:241-305``). These tests
+verify the two round-5 additions by round-tripping the reference's own
+testcase sources (rdfxml-example7 / trig-example2) through export + re-import
+and comparing triple sets up to blank-node renaming (RDF graphs are equal up
+to bnode isomorphism; labels are scoped per document on import)."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from nemo_spark.model.values import T_NULL, Value
+from nemo_spark.sources.rdf_typed import read_rdf_typed, serialize_rdf_typed
+
+_SOURCES = "/root/reference/resources/testcases/data-formats/rdf/sources"
+
+
+def _canon(rows: list[tuple]) -> set[tuple]:
+    """Canonicalize bnode labels by first occurrence in the sorted masked
+    view — on these small graphs every bnode is distinguished by its
+    non-bnode neighborhood, so this is a sound isomorphism check."""
+    masked = sorted(
+        tuple((t, i, d, "_" if t == T_NULL else s) for (t, i, d, s) in row) for row in rows
+    )
+    order: dict[str, str] = {}
+    raw = sorted(rows, key=lambda row: tuple((t, i, d, "_" if t == T_NULL else s) for (t, i, d, s) in row))
+    out = set()
+    for row in raw:
+        canon_row = []
+        for t, i, d, s in row:
+            if t == T_NULL:
+                if s not in order:
+                    order[s] = f"B{len(order)}"
+                canon_row.append((t, i, d, order[s]))
+            else:
+                canon_row.append((t, i, d, s))
+        out.add(tuple(canon_row))
+    assert len(masked) == len(rows)
+    return out
+
+
+def _collect(df) -> list[tuple]:
+    return [tuple(tuple(c) for c in row) for row in df.collect()]
+
+
+def test_rdfxml_export_roundtrip(spark, tmp_path):
+    orig = read_rdf_typed(spark, f"{_SOURCES}/example7.rdf", "rdfxml")
+    out = str(tmp_path / "out")
+    serialize_rdf_typed(orig.coalesce(1), "rdfxml").write.text(out)
+
+    # every part file is a standalone well-formed XML document
+    import xml.etree.ElementTree as ET
+
+    for part in glob.glob(f"{out}/part-*"):
+        ET.parse(part)
+
+    back = read_rdf_typed(spark, out, "rdfxml")
+    assert _canon(_collect(back)) == _canon(_collect(orig))
+
+
+def test_rdfxml_export_typed_literals_and_drops(spark, tmp_path):
+    from nemo_spark.sources.dsv_typed import typed_rows_df
+
+    iri = Value.iri
+    rows = [
+        (iri("http://ex/a"), iri("http://ex/p"), Value.int(42)),
+        (iri("http://ex/a"), iri("http://ex/p"), Value.lang_string("ciao", "it")),
+        (iri("http://ex/a"), iri("http://ex/p"), Value.string("")),
+        # predicate IRI with no NCName split point: dropped (XML writer
+        # cannot form a QName for it)
+        (iri("http://ex/a"), iri("http://ex/123"), Value.string("x")),
+        # literal subject: dropped (writer.rs drop semantics)
+        (Value.string("lit"), iri("http://ex/p"), Value.string("x")),
+    ]
+    df = typed_rows_df(spark, rows, 3)
+    out = str(tmp_path / "typed")
+    serialize_rdf_typed(df.coalesce(1), "rdfxml").write.text(out)
+    back = _collect(read_rdf_typed(spark, out, "rdfxml"))
+    assert len(back) == 3
+    objs = {row[2] for row in back}
+    assert objs == {
+        Value.int(42).as_row(),
+        Value.lang_string("ciao", "it").as_row(),
+        Value.string("").as_row(),
+    }
+
+
+def test_trig_export_roundtrip(spark, tmp_path):
+    orig = read_rdf_typed(spark, f"{_SOURCES}/example2.trig", "trig")
+    out = str(tmp_path / "out")
+    serialize_rdf_typed(orig.coalesce(1), "trig").write.text(out)
+    back = read_rdf_typed(spark, out, "trig")
+    assert _canon(_collect(back)) == _canon(_collect(orig))
+
+
+def test_rls_export_rdfxml_and_trig(spark, tmp_path):
+    """@export ... rdfxml / trig end-to-end through the runner, with the
+    reference's default file extensions (.rdf / .trig)."""
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = """
+t(<http://ex/a>, <http://ex/p>, "lit") .
+q(<http://g1>, <http://ex/a>, <http://ex/p>, 42) .
+@export t :- rdfxml{} .
+@export q :- trig{} .
+"""
+    r = RlsRunner(spark, source=src, workdir=str(tmp_path)).run()
+    out = str(tmp_path / "exports")
+    r.write_exports(out)
+    (xml_dir,) = glob.glob(f"{out}/t.rdf")
+    (trig_dir,) = glob.glob(f"{out}/q.trig")
+    back_t = _collect(read_rdf_typed(spark, xml_dir, "rdfxml"))
+    assert len(back_t) == 1 and back_t[0][2][3] == "lit"
+    back_q = _collect(read_rdf_typed(spark, trig_dir, "trig"))
+    assert len(back_q) == 1
+    g, s, p, o = back_q[0]
+    assert g[3] == "http://g1" and o[1] == 42
+
+
+def test_trig_arity_guard(spark):
+    from nemo_spark.sources.dsv_typed import typed_rows_df
+
+    df = typed_rows_df(spark, [(Value.iri("a"), Value.iri("b"), Value.iri("c"))], 3)
+    with pytest.raises(ValueError):
+        serialize_rdf_typed(df, "trig")
