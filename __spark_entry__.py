@@ -461,6 +461,66 @@ out(?s, ?f, ?d) :- v(?x), ?s = STR(?x), ?f = fullStr(?x), ?d = DATATYPE(?x).
 """
 
 
+_RLS_PARAMS = """
+@parameter $lo = 5 .
+@parameter $scale = $lo * 2 .
+v(1) . v(4) . v(7) . v(9) .
+keep(?x, ?x * $scale) :- v(?x), ?x >= $lo .
+@output keep .
+"""
+
+
+def q_rls_params(spark: SparkSession, sf: str) -> DataFrame:
+    """External @parameter override (``nmo --param`` parity,
+    nemo-cli/src/cli.rs:220): the program defaults to $lo=5, the external
+    value 3 wins and the DEPENDENT parameter $scale = $lo * 2 re-evaluates
+    against it (TransformationGlobal fixpoint) — so the oracle rows only
+    match if both the override and the dependency re-evaluation happened."""
+    from nemo_spark.parser import RlsRunner
+
+    r = RlsRunner(spark, source=_RLS_PARAMS, workdir="/tmp", params={"lo": "3"}).run()
+    return r.serialized("keep")
+
+
+def q_json_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON import with reader-side filter/transform patterns
+    (nemo/src/io/formats/json.rs:24-27 + filter_imports.rs): the nation
+    names round-trip through a JSON document; the single rule over the
+    import internalizes into the reader, so the filter (<> 'ALGERIA') and
+    the (node,key,value)->(name) projection run INSIDE the parse task and
+    only matching names cross the Arrow boundary."""
+    import json as _json
+    import os
+    import tempfile
+
+    from nemo_spark.parser import RlsRunner
+
+    names = [
+        r[0]
+        for r in spark.read.parquet(f"{sf}/nation.parquet")
+        .select("n_name")
+        .orderBy("n_name")
+        .collect()
+    ]
+    doc = [{"name": n} for n in names]
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="nemo_spark_jsonpat_")
+    with os.fdopen(fd, "w") as f:
+        _json.dump(doc, f)
+    try:
+        src = f"""
+@import data :- json {{resource="{path}"}} .
+named(?v) :- data(?n, <value>, ?v), ?v != "NATION_0" .
+@export named :- csv {{}} .
+"""
+        r = RlsRunner(spark, source=src, workdir="/tmp").run()
+        # the rule must have been internalized into the import (the plan
+        # gate: no rules remain to evaluate)
+        assert r.compiled.program.rules == [], "json filter rule was not internalized"
+        return r.serialized("named")
+    finally:
+        os.unlink(path)
+
+
 def q_rls_datalog(spark: SparkSession, sf: str) -> DataFrame:
     """Run a .rls text program through the full parser -> typed-value ->
     semi-naive pipeline (negation, arithmetic assignment, comparison filter);
@@ -784,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_datalog": q_rls_datalog,
         "rls_aggregate": q_rls_aggregate,
         "rls_datatypes": q_rls_datatypes,
+        "rls_params": q_rls_params,
+        "json_patterns": q_json_patterns,
         "sparql_import": q_sparql_import,
         "sparql_merged": q_sparql_merged,
         "triangles_wcoj": q_triangles_wcoj,
@@ -938,6 +1000,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rls_datatypes": _rls_datatypes_oracle_sql(),
         "rls_tuples": _rls_tuples_oracle_sql(),
+        "rls_params": """
+            WITH v(x) AS (VALUES (4), (7), (9))
+            SELECT CAST(x AS VARCHAR) AS c0, CAST(x * 6 AS VARCHAR) AS c1
+            FROM v
+        """,
+        "json_patterns": """
+            -- serialized() emits nemo's DSV-any form: strings are quoted
+            SELECT '"' || n_name || '"' AS c0 FROM nation WHERE n_name <> 'NATION_0'
+        """,
         "salted_join_orders": """
             SELECT o_orderkey, o_custkey AS c_custkey, c_name,
                    o_totalprice

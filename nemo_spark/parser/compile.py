@@ -87,6 +87,13 @@ class CompileError(ValueError):
     pass
 
 
+class UndefinedParameter(CompileError):
+    """A ``$param`` reference with no definition (in-program or external).
+
+    Distinct class so the parameter-resolution fixpoint can retry only
+    not-yet-defined lookups without masking genuine compile errors."""
+
+
 # ------------------------------------------------------------ name resolving
 
 
@@ -281,7 +288,7 @@ class GroundEval:
             return Value.iri(self.resolver.bare(node.name))
         if isinstance(node, TParam):
             if node.name not in self.params:
-                raise CompileError(f"undefined parameter ${node.name}")
+                raise UndefinedParameter(f"undefined parameter ${node.name}")
             return self.params[node.name]
         if isinstance(node, TFString):
             out = []
@@ -581,13 +588,127 @@ def _rewrite_nullary(ast: ProgramAST) -> set:
     return nullary
 
 
-def compile_program(ast: ProgramAST) -> CompiledProgram:
+def _param_refs(ast: ProgramAST) -> set[str]:
+    """Every ``$name`` referenced anywhere in the program (rule terms,
+    facts, parameter expressions, import/export options)."""
+    refs: set[str] = set()
+
+    def walk(node) -> None:
+        if isinstance(node, TParam):
+            refs.add(node.name)
+        elif isinstance(node, TCall):
+            for a in node.args:
+                walk(a)
+        elif isinstance(node, TAgg):
+            for a in node.args:
+                walk(a)
+        elif isinstance(node, TFString):
+            for p in node.parts:
+                if not isinstance(p, str):
+                    walk(p)
+        elif isinstance(node, TTuple):
+            for e in node.elems:
+                walk(e)
+        elif isinstance(node, TMap):
+            for k, v in node.pairs:
+                walk(k)
+                walk(v)
+        elif isinstance(node, tuple):
+            for e in node:
+                walk(e)
+
+    def walk_atom(atom) -> None:
+        for t in atom.terms:
+            walk(t)
+
+    for _, expr in ast.parameters:
+        if expr is not None:
+            walk(expr)
+    for fatom in ast.facts:
+        walk_atom(fatom)
+    for rule in ast.rules:
+        for h in rule.heads:
+            walk_atom(h)
+        for kind, item in rule.body:
+            if kind in ("atom", "neg"):
+                walk_atom(item)
+            else:
+                walk(item)
+    for spec in list(ast.imports) + list(ast.exports):
+        for v in spec.options.values():
+            walk(v)
+        for kind, item in spec.body:
+            walk_atom(item) if kind in ("atom", "neg") else walk(item)
+        for rule in getattr(spec, "filter_rules", []):
+            # rules internalized into the import still reference params
+            for h in rule.heads:
+                walk_atom(h)
+            for kind, item in rule.body:
+                walk_atom(item) if kind in ("atom", "neg") else walk(item)
+    return refs
+
+
+def _resolve_parameters(ast: ProgramAST, ground: GroundEval, external: dict) -> None:
+    """Evaluate ``@parameter`` declarations into ``ground.params``, with
+    externally supplied values taking precedence (the reference's
+    TransformationGlobal: externally-ground variables never evaluate their
+    in-program default; execution_parameters.rs:53 set_global + programs.rs
+    validate_parameters for the error cases)."""
+    params = ground.params
+    for name, raw in external.items():
+        if isinstance(raw, Value):
+            params[name] = raw
+        else:
+            from nemo_spark.parser.rls import parse_term
+
+            try:
+                node = parse_term(str(raw))
+            except SyntaxError as e:
+                raise CompileError(f"invalid value for parameter ${name}: {e}") from e
+            params[name] = ground.eval(node)
+
+    declared: set[str] = set()
+    pending: list[tuple[str, object]] = []
+    for name, expr in ast.parameters:
+        if name in declared:
+            # ParameterRedefinition (programs.rs:326)
+            raise CompileError(f"parameter ${name} declared twice")
+        declared.add(name)
+        if name in params:
+            continue  # external override wins
+        if expr is None:
+            # ParameterMissingDefinition (programs.rs:333)
+            raise CompileError(
+                f"parameter ${name} has no expression and was not supplied externally"
+            )
+        pending.append((name, expr))
+
+    # parameters may reference each other in any order; iterate to fixpoint
+    # (TransformationGlobal::subsitution), cyclic/undefined leftovers error
+    while pending:
+        rest = []
+        for name, expr in pending:
+            try:
+                params[name] = ground.eval(expr)
+            except UndefinedParameter:
+                rest.append((name, expr))
+        if len(rest) == len(pending):
+            names = ", ".join("$" + n for n, _ in rest)
+            raise CompileError(f"cyclic or undefined parameter definitions: {names}")
+        pending = rest
+
+    unknown = set(external) - declared - _param_refs(ast)
+    if unknown:
+        # loud failure: a typoed --param key must not silently no-op
+        names = ", ".join("$" + n for n in sorted(unknown))
+        raise CompileError(f"unknown external parameter(s): {names}")
+
+
+def compile_program(ast: ProgramAST, params: dict | None = None) -> CompiledProgram:
     nullary_raw = _rewrite_nullary(ast)
     resolver = Resolver(ast.prefixes, ast.base)
-    params: dict[str, Value] = {}
-    ground = GroundEval(resolver, params)
-    for name, expr in ast.parameters:
-        params[name] = ground.eval(expr)
+    ground = GroundEval(resolver, {})
+    _resolve_parameters(ast, ground, dict(params or {}))
     ec = ExprCompiler(ground)
 
     fact_rows: dict[str, list[tuple]] = {}
@@ -656,7 +777,7 @@ def compile_program(ast: ProgramAST) -> CompiledProgram:
         base=ast.base,
         fact_rows=fact_rows,
         nullary={resolver.pred(p) for p in nullary_raw},
-        params=params,
+        params=ground.params,
     )
 
 

@@ -327,9 +327,12 @@ class Parser:
                 prog.outputs.append(self._pred_name())
             self.expect("PUNCT", ".")
         elif d == "parameter":
+            # expression optional (parmater_declaration.rs: a bare
+            # '@parameter $x .' must then be supplied externally)
             name = self.expect("PARAM").text[1:]
-            self.expect("OP", "=")
-            expr = self._expr()
+            expr = None
+            if self.accept("OP", "="):
+                expr = self._expr()
             self.expect("PUNCT", ".")
             prog.parameters.append((name, expr))
         elif d == "declare":
@@ -649,3 +652,13 @@ _BUILTINS_CI = {n.lower(): n for n in _BUILTIN_NAMES}
 
 def parse_rls(src: str) -> ProgramAST:
     return Parser(tokenize(src)).parse()
+
+
+def parse_term(src: str):
+    """Parse one standalone term expression (GroundTerm::parse parity for
+    externally supplied ``--param key=value`` values)."""
+    p = Parser(tokenize(src))
+    expr = p._expr()
+    if p.peek().kind != "EOF":
+        raise SyntaxError(f"rls term: trailing input at offset {p.peek().pos}: {src!r}")
+    return expr

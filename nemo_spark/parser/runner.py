@@ -90,7 +90,12 @@ class RlsRunner:
         workdir: str | None = None,
         chase: str = "restricted",
         local_stratum_threshold: int = 100_000,
+        params: dict | None = None,
     ) -> None:
+        """``params`` overrides ``@parameter`` defaults (``nmo --param
+        key=value``, nemo-cli/src/cli.rs:220): values are rls ground-term
+        strings (or Values); unknown keys and missing expressionless
+        parameters are loud compile errors."""
         self.spark = spark
         if source is None:
             with open(rls_path) as f:
@@ -98,7 +103,10 @@ class RlsRunner:
             workdir = workdir or os.path.dirname(os.path.abspath(rls_path))
         self.workdir = workdir or "."
         self.ast = parse_rls(source)
-        self.compiled: CompiledProgram = compile_program(self.ast)
+        from nemo_spark.parser.filter_imports import internalize_filter_imports
+
+        internalize_filter_imports(self.ast)
+        self.compiled: CompiledProgram = compile_program(self.ast, params=params)
         self.engine = SemiNaiveEngine(
             spark, chase=chase, local_stratum_threshold=local_stratum_threshold
         )
@@ -280,6 +288,17 @@ class RlsRunner:
         if imp.fmt == "json":
             from nemo_spark.sources.json_typed import read_json_typed
 
+            rules = getattr(imp, "filter_rules", None)
+            if rules:
+                from nemo_spark.parser.filter_imports import build_patterns
+
+                ge = GroundEval(_ResolverView(self.compiled), self.compiled.params)
+                patterns, arity = build_patterns(rules, ge)
+                # the internalized rules' head facts were set-semantic IDB
+                # derivations before the rewrite; keep that observable
+                # behavior (reference: rows land in a trie, a set)
+                df = read_json_typed(self.spark, res, patterns=patterns).dropDuplicates()
+                return df, arity
             return read_json_typed(self.spark, res), 3
         if imp.fmt == "sparql":
             from nemo_spark.sources.sparql import read_sparql_typed
@@ -383,6 +402,38 @@ class RlsRunner:
 
     def table(self, pred: str) -> DataFrame:
         return self.engine.table(pred)
+
+    def report(self) -> dict:
+        """Structured per-rule reasoning report (``nmo --report`` parity:
+        nemo-cli/src/main.rs:75-94,136 prints the TimedCode tree whose
+        ``Reasoning/Rules/Rule {i}`` nodes carry per-rule wall time,
+        execution_engine.rs:227).
+
+        Shape::
+
+            {"total_wall_ms": float, "rounds": int, "derived_total": int,
+             "rules": {label: {"stratum": int, "wall_ms": float,
+                               "derived_rows": int, "applications": int}}}
+
+        ``applications`` counts semi-naive rounds the rule ran in;
+        ``derived_rows`` counts NEW facts only (dedup-vs-history survivors),
+        matching the reference's "derived facts" number."""
+        stats = self.engine.stats
+        rules: dict[str, dict] = {}
+        for m in stats.per_rule:
+            r = rules.setdefault(
+                m.rule,
+                {"stratum": m.stratum, "wall_ms": 0.0, "derived_rows": 0, "applications": 0},
+            )
+            r["wall_ms"] += m.wall_sec * 1000.0
+            r["derived_rows"] += m.derived_rows
+            r["applications"] += 1
+        return {
+            "total_wall_ms": sum(r["wall_ms"] for r in rules.values()),
+            "rounds": stats.rounds,
+            "derived_total": stats.derived_total,
+            "rules": rules,
+        }
 
     def close(self) -> None:
         """Drop the engine's managed state (bucketed history tables)."""

@@ -60,20 +60,33 @@ def _flatten(doc) -> list[tuple[Value, Value, Value]]:
     return out
 
 
-def read_json_typed(spark: SparkSession, path: str) -> DataFrame:
-    schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(3))
+def read_json_typed(spark: SparkSession, path: str, patterns=None) -> DataFrame:
+    """``patterns``: reader-side :class:`FilterTransformPattern` list
+    (``nemo/src/io/formats/json.rs:24-27`` JsonHandler carries patterns
+    into its reader). Applied per flattened row INSIDE the parse task, so
+    dropped rows never cross the Arrow boundary and transformed rows ship
+    at output arity — a Catalyst Filter above this reader could only run
+    after the full ternary expansion was transferred."""
+    from nemo_spark.sources.patterns import apply_patterns, pattern_output_arity
+
+    patterns = tuple(patterns or ())
+    ncols = pattern_output_arity(patterns, 3)
+    schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(ncols))
     src = spark.read.text(path, wholetext=True)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: list[list] = [[], [], []]
+            cols: list[list] = [[] for _ in range(ncols)]
             for text in pdf["value"]:
                 if not text or not text.strip():
                     continue
                 doc = json.loads(text)
                 for row in _flatten(doc):
-                    for c, v in zip(cols, row):
+                    out = apply_patterns(row, patterns)
+                    if out is None:
+                        continue
+                    for c, v in zip(cols, out):
                         c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})
-            yield pd.DataFrame({f"c{i}": cols[i] for i in range(3)})
+            yield pd.DataFrame({f"c{i}": cols[i] for i in range(ncols)})
 
     return src.mapInPandas(parse, schema=schema)
