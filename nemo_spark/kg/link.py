@@ -48,6 +48,14 @@ def link_scored(
 
     At scale the dictionary stays broadcastable (entity vocabularies are
     dimension-sized); the blocking key keeps the candidate blow-up linear.
+
+    Failure mode to watch: blocking on the FIRST CHARACTER gives only a
+    ~36-way split, so each mention still meets ~1/36 of the dictionary. That
+    is fine while the dictionary is dimension-sized (10k–1M aliases), but a
+    10M-alias dictionary makes per-block candidate sets quadratic-ish; at
+    that size switch the blocking key to the first character PAIR (~1300-way)
+    or reuse the 3-gram LSH banding from ops/dedup.py, both of which keep
+    this join's output linear without changing its semantics.
     """
     m = mentions.withColumn("__mg", char_ngrams(F.col(mention_col))).withColumn(
         "__blk", F.substr(F.col(mention_col), F.lit(1), F.lit(1))

@@ -697,11 +697,12 @@ def _resolve_parameters(ast: ProgramAST, ground: GroundEval, external: dict) -> 
             raise CompileError(f"cyclic or undefined parameter definitions: {names}")
         pending = rest
 
-    unknown = set(external) - declared - _param_refs(ast)
-    if unknown:
-        # loud failure: a typoed --param key must not silently no-op
-        names = ", ".join("$" + n for n in sorted(unknown))
-        raise CompileError(f"unknown external parameter(s): {names}")
+    if external:  # the AST walk is pointless on the common no-params path
+        unknown = set(external) - declared - _param_refs(ast)
+        if unknown:
+            # loud failure: a typoed --param key must not silently no-op
+            names = ", ".join("$" + n for n in sorted(unknown))
+            raise CompileError(f"unknown external parameter(s): {names}")
 
 
 def compile_program(ast: ProgramAST, params: dict | None = None) -> CompiledProgram:

@@ -101,6 +101,10 @@ def check_rule(rule: RuleAST) -> str | None:
     ground-function catalogue."""
     if len(rule.heads) != 1:
         return None
+    if not rule.heads[0].terms:
+        # a nullary head would internalize to zero transforms (an empty
+        # reader schema); leave it to the engine's nullary rewrite
+        return None
     atoms = [i for k, i in rule.body if k == "atom"]
     if len(atoms) != 1 or any(k == "neg" for k, _ in rule.body):
         return None
@@ -174,6 +178,11 @@ def internalize_filter_imports(ast: ProgramAST) -> int:
             continue
         heads = {r.heads[0].pred for r in rules}
         if len(heads) != 1:  # same_head_predicate (filter_imports.rs:86)
+            continue
+        if len({len(r.heads[0].terms) for r in rules}) != 1:
+            # mixed head arities: an invalid program (predicate arity
+            # conflict) — leave the rules in place so compile_program
+            # raises its arity error instead of truncating columns
             continue
         head_pred = next(iter(heads))
         if head_pred in sources or head_pred == imp.pred:

@@ -75,7 +75,7 @@ def read_rdf_typed(spark: SparkSession, path: str, fmt: str = "rdf") -> DataFram
                 if quads:
                     # graph name comes FIRST in the predicate layout
                     # (reference rdf reader; see nquads testcase rule shape)
-                    toks = [m.group(4) or "<>"] + toks
+                    toks = [m.group(4) or f"<{DEFAULT_GRAPH_IRI}>"] + toks
                 try:
                     vals = [_term_value(t) for t in toks[:ncols]]
                 except ValueError_:
@@ -113,6 +113,11 @@ _TTL_TOKEN = re.compile(
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
+# the reference's default-graph marker (nemo/src/io/formats/rdf.rs:53):
+# readers mint this IRI for quads in the default graph; writers map it back
+# to "no graph term" on export
+DEFAULT_GRAPH_IRI = "tag:nemo:defaultgraph"
+
 
 def _ttl_tokens(text: str) -> list[str]:
     out = []
@@ -143,7 +148,7 @@ class _TurtleParser:
         # import)
         self.scope = scope
         self.quads = quads
-        self.graph = Value.iri("")  # default graph
+        self.graph = Value.iri(DEFAULT_GRAPH_IRI)
         self.out: list[tuple] = []
 
     def peek(self):
@@ -378,7 +383,10 @@ def _read_rdf_doc(spark: SparkSession, path: str, fmt: str) -> DataFrame:
                     # downstream coalesce merges them into one part file) —
                     # split on the XML declaration and parse each, with a
                     # per-document bnode scope
-                    docs = [d for d in re.split(r"(?=<\?xml\b)", text) if d.strip()]
+                    # split ONLY on the XML declaration — `<?xml-stylesheet`
+                    # and other xml-prefixed processing instructions must
+                    # not break a single document apart
+                    docs = [d for d in re.split(r"(?=<\?xml[\s?])", text) if d.strip()]
                     rows = []
                     for k, doc in enumerate(docs):
                         rows.extend(_rdfxml_triples(doc, f"{scope}{k}." if len(docs) > 1 else scope))
@@ -416,12 +424,37 @@ _RDFXML_HEADER = (
 )
 
 
+def _ncname_bnode(label: str) -> str:
+    """rdf:nodeID must be an NCName (cannot start with a digit, limited
+    charset); engine bnode labels carry md5-hex scopes and dots, so prefix
+    with 'b' and sanitize. A changed label gets a short hash suffix so two
+    distinct labels can never collide after sanitization; the mapping is a
+    pure function of the label, preserving bnode identity across rows and
+    partitions."""
+    import hashlib as _hl
+
+    safe = re.sub(r"[^\w.-]", "_", label)
+    out = "b" + safe
+    if safe != label:
+        out += "." + _hl.md5(label.encode()).hexdigest()[:8]
+    return out
+
+
+def _xml_text(text: str) -> str:
+    """Element-text escaping: besides &<>, carriage returns must become
+    character references — a conforming XML parser end-of-line-normalizes
+    raw \\r / \\r\\n to \\n, silently corrupting the literal."""
+    from xml.sax.saxutils import escape
+
+    return escape(text, {"\r": "&#13;"})
+
+
 def _rdfxml_line(s: Value, p: Value, o: Value) -> str | None:
     """One self-contained rdf:Description element per triple. The predicate
     element declares its own namespace (xmlns:ns0) so every line is
     independent — no shared prefix table across partitions/rows, which is
     what makes the document safely writable in parallel."""
-    from xml.sax.saxutils import escape, quoteattr
+    from xml.sax.saxutils import quoteattr
 
     from nemo_spark.model.values import T_IRI, T_LANG, T_NULL, T_STRING
 
@@ -430,22 +463,24 @@ def _rdfxml_line(s: Value, p: Value, o: Value) -> str | None:
         return None  # predicate not expressible as an XML QName
     ns, local = split
     subj_attr = (
-        f"rdf:about={quoteattr(s.s)}" if s.t == T_IRI else f"rdf:nodeID={quoteattr(s.s)}"
+        f"rdf:about={quoteattr(s.s)}"
+        if s.t == T_IRI
+        else f"rdf:nodeID={quoteattr(_ncname_bnode(s.s))}"
     )
     open_tag = f"ns0:{local} xmlns:ns0={quoteattr(ns)}"
     if o.t == T_IRI:
         prop = f"<{open_tag} rdf:resource={quoteattr(o.s)}/>"
     elif o.t == T_NULL:
-        prop = f"<{open_tag} rdf:nodeID={quoteattr(o.s)}/>"
+        prop = f"<{open_tag} rdf:nodeID={quoteattr(_ncname_bnode(o.s))}/>"
     elif o.t == T_STRING:
-        prop = f"<{open_tag}>{escape(o.s)}</ns0:{local}>"
+        prop = f"<{open_tag}>{_xml_text(o.s)}</ns0:{local}>"
     elif o.t == T_LANG:
         text, tag = o.lang_pair()
-        prop = f"<{open_tag} xml:lang={quoteattr(tag)}>{escape(text)}</ns0:{local}>"
+        prop = f"<{open_tag} xml:lang={quoteattr(tag)}>{_xml_text(text)}</ns0:{local}>"
     else:
         prop = (
             f"<{open_tag} rdf:datatype={quoteattr(o.datatype_iri())}>"
-            f"{escape(o.lexical())}</ns0:{local}>"
+            f"{_xml_text(o.lexical())}</ns0:{local}>"
         )
     return f"<rdf:Description {subj_attr}>{prop}</rdf:Description>"
 
@@ -493,11 +528,12 @@ def serialize_rdf_typed(df: DataFrame, fmt: str = "ntriples") -> DataFrame:
         triple = f"{s.rdf_term()} {p.rdf_term()} {o.rdf_term()} ."
         if g is None:
             return triple
+        if g.t == T_IRI and g.s == DEFAULT_GRAPH_IRI:
+            # writer.rs:54 maps the marker IRI back to DefaultGraph: the
+            # graph term is OMITTED (nquads) / the quad goes to the
+            # top-level block (trig)
+            return triple
         if fmt == "trig":
-            # default graph (empty IRI, the reader's representation) at top
-            # level; named graphs as per-quad one-line blocks
-            if g.t == T_IRI and g.s == "":
-                return triple
             return f"{g.rdf_term()} {{ {triple} }}"
         return f"{s.rdf_term()} {p.rdf_term()} {o.rdf_term()} {g.rdf_term()} ."
 

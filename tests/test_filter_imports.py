@@ -153,3 +153,32 @@ picked(?v) :- data(?n, <value>, ?v), ?v = 1 .
     assert r.compiled.program.rules == []
     got = sorted(tuple(t) for t in r.serialized("picked").collect())
     assert got == [("1",), ("12",), ("5",)]
+
+
+def test_nullary_and_mixed_arity_heads_not_internalized(spark, json_file):
+    from nemo_spark.parser.filter_imports import internalize_filter_imports
+    from nemo_spark.parser.rls import parse_rls
+
+    base = f'@import data :- json {{resource="{json_file}"}} .\n'
+    # nullary head: must stay a rule (the engine's nullary rewrite handles it)
+    ast = parse_rls(base + "seen() :- data(?n, <value>, ?v), ?v >= 100 .\n@output seen .")
+    assert internalize_filter_imports(ast) == 0
+    # mixed head arities: invalid program — leave for compile's arity error
+    ast = parse_rls(
+        base
+        + "h(?v) :- data(?n, <value>, ?v) .\n"
+        + "h(?v, ?n) :- data(?n, <value>, ?v) .\n@output h ."
+    )
+    assert internalize_filter_imports(ast) == 0
+
+
+def test_nullary_head_program_still_runs(spark, json_file):
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = f"""
+@import data :- json {{resource="{json_file}"}} .
+seen() :- data(?n, <value>, ?v), ?v >= 5 .
+@output seen .
+"""
+    r = RlsRunner(spark, source=src).run()
+    assert r.serialized("seen").count() == 1  # derivable: values 5 and 12

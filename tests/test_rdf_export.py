@@ -128,3 +128,65 @@ def test_trig_arity_guard(spark):
     df = typed_rows_df(spark, [(Value.iri("a"), Value.iri("b"), Value.iri("c"))], 3)
     with pytest.raises(ValueError):
         serialize_rdf_typed(df, "trig")
+
+
+def test_nquads_default_graph_omits_graph_term(spark, tmp_path):
+    """Reference parity (rdf.rs:53, writer.rs:54): default-graph quads are
+    read as the marker IRI tag:nemo:defaultgraph and exported WITHOUT a
+    graph term; the roundtrip via nquads preserves the quad set."""
+    orig = read_rdf_typed(spark, f"{_SOURCES}/example2.trig", "trig")
+    out = str(tmp_path / "nq")
+    serialize_rdf_typed(orig.coalesce(1), "nquads").write.text(out)
+    text = "".join(open(p).read() for p in glob.glob(f"{out}/part-*"))
+    assert "tag:nemo:defaultgraph" not in text  # marker never serialized
+    back = read_rdf_typed(spark, out, "nquads")
+    assert _canon(_collect(back)) == _canon(_collect(orig))
+    # default-graph rows exist on both sides
+    from nemo_spark.sources.rdf_typed import DEFAULT_GRAPH_IRI
+
+    assert any(r[0][3] == DEFAULT_GRAPH_IRI for r in _collect(back))
+
+
+def test_rdfxml_bnode_labels_are_ncnames(spark, tmp_path):
+    """rdf:nodeID values must be NCNames — reader-scoped labels start with
+    an md5-hex scope (digit-first ~56% of the time), so the writer
+    sanitizes them deterministically."""
+    import re
+
+    orig = read_rdf_typed(spark, f"{_SOURCES}/example7.rdf", "rdfxml")
+    out = str(tmp_path / "nc")
+    serialize_rdf_typed(orig.coalesce(1), "rdfxml").write.text(out)
+    text = "".join(open(p).read() for p in glob.glob(f"{out}/part-*"))
+    labels = re.findall(r'rdf:nodeID="([^"]*)"', text)
+    assert labels  # example7 has a bnode
+    for lab in labels:
+        assert re.fullmatch(r"[A-Za-z_][\w.-]*", lab), lab
+    # identity preserved: subject and object occurrences still unify
+    back = read_rdf_typed(spark, out, "rdfxml")
+    assert _canon(_collect(back)) == _canon(_collect(orig))
+
+
+def test_rdfxml_carriage_return_roundtrip(spark, tmp_path):
+    from nemo_spark.sources.dsv_typed import typed_rows_df
+
+    rows = [(Value.iri("http://ex/a"), Value.iri("http://ex/p"), Value.string("a\rb"))]
+    df = typed_rows_df(spark, rows, 3)
+    out = str(tmp_path / "cr")
+    serialize_rdf_typed(df.coalesce(1), "rdfxml").write.text(out)
+    back = _collect(read_rdf_typed(spark, out, "rdfxml"))
+    assert back[0][2][3] == "a\rb"  # \r survives XML EOL normalization
+
+
+def test_rdfxml_stylesheet_pi_not_split(spark, tmp_path):
+    doc = (
+        '<?xml version="1.0"?>\n'
+        '<?xml-stylesheet type="text/xsl" href="s.xsl"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://ex/">\n'
+        '<rdf:Description rdf:about="http://ex/a"><ex:p>v</ex:p></rdf:Description>\n'
+        "</rdf:RDF>\n"
+    )
+    p = tmp_path / "pi.rdf"
+    p.write_text(doc)
+    rows = _collect(read_rdf_typed(spark, str(p), "rdfxml"))
+    assert len(rows) == 1 and rows[0][2][3] == "v"
