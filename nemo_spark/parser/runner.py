@@ -91,11 +91,13 @@ class RlsRunner:
         chase: str = "restricted",
         local_stratum_threshold: int = 100_000,
         params: dict | None = None,
+        trace: bool = False,
     ) -> None:
         """``params`` overrides ``@parameter`` defaults (``nmo --param
         key=value``, nemo-cli/src/cli.rs:220): values are rls ground-term
         strings (or Values); unknown keys and missing expressionless
-        parameters are loud compile errors."""
+        parameters are loud compile errors. ``trace=True`` records rule
+        provenance for ``trace_fact``/``trace_tree`` (``nmo --trace``)."""
         self.spark = spark
         if source is None:
             with open(rls_path) as f:
@@ -108,7 +110,7 @@ class RlsRunner:
         internalize_filter_imports(self.ast)
         self.compiled: CompiledProgram = compile_program(self.ast, params=params)
         self.engine = SemiNaiveEngine(
-            spark, chase=chase, local_stratum_threshold=local_stratum_threshold
+            spark, chase=chase, local_stratum_threshold=local_stratum_threshold, trace=trace
         )
         self._ran = False
 
@@ -402,6 +404,22 @@ class RlsRunner:
 
     def table(self, pred: str) -> DataFrame:
         return self.engine.table(pred)
+
+    def trace(self, fact: str) -> dict | None:
+        """Derivation tree for a fact written in rule syntax, e.g.
+        ``"P(a, 2)"`` (``nmo --trace``, nemo-cli/src/cli.rs:164: facts are
+        parsed with the program's prefixes). Requires ``trace=True`` at
+        construction; returns None for unknown facts."""
+        from nemo_spark.parser.rls import parse_rls as _parse
+
+        ast = _parse(fact.strip().rstrip(".") + " .")
+        if not ast.facts:
+            raise CompileError(f"not a fact: {fact!r}")
+        fatom = ast.facts[0]
+        view = _ResolverView(self.compiled)
+        ge = GroundEval(view, self.compiled.params)
+        vals = tuple(ge.eval(t) for t in fatom.terms)
+        return self.engine.trace_tree(view.pred(fatom.pred), vals)
 
     def report(self) -> dict:
         """Structured per-rule reasoning report (``nmo --report`` parity:
