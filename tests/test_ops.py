@@ -360,6 +360,33 @@ def test_turn_features_keep_non_relation_turns(spark):
     assert by_idx[1].n_tokens == 5 and by_idx[1].fp is not None
 
 
+def test_feature_extractors_identical(spark):
+    """The Arrow/RE2 feature extractor (pipeline default) must be a value
+    drop-in for the pandas one on every column, including edge turns:
+    multilingual text, ties in language scores, relation-free turns, and
+    empty-ish strings."""
+    from nemo_spark.kg.extract import (
+        extract_turn_features_arrow,
+        extract_turn_features_pandas,
+    )
+    from nemo_spark.kg.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, 20_000)
+    edge = spark.createDataFrame(
+        [
+            ("e", 0, "entity_1 works_at ent-2 . the el der le"),  # 4-way lang tie
+            ("e", 1, "x"),
+            ("e", 2, "la la la que y"),
+            ("e", 3, "E.9 part_of E.10 . der und das ist"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    for df in (tr, edge):
+        a = extract_turn_features_pandas(df)
+        b = extract_turn_features_arrow(df)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_jaccard_verify_empty_shingles(spark):
     """Identical docs shorter than k tokens (empty shingle sets) must score
     1.0, not NULL (which silently dropped true duplicates)."""
