@@ -133,15 +133,24 @@ def main(argv: list[str] | None = None) -> int:
                 saved = True
         elif args.export != "none":
             os.makedirs(args.export_dir, exist_ok=True)
-            for pred in _class_predicates(runner, args.export):
-                name = sanitize_pred(pred) + ".csv"
-                target = os.path.join(args.export_dir, name)
-                if os.path.exists(target) and not args.overwrite_results:
+            preds = _class_predicates(runner, args.export)
+            if not args.overwrite_results:
+                # check EVERY target before writing ANY — aborting halfway
+                # would leave a partial export behind a failure exit code
+                clash = [
+                    sanitize_pred(p) + ".csv"
+                    for p in preds
+                    if os.path.exists(os.path.join(args.export_dir, sanitize_pred(p) + ".csv"))
+                ]
+                if clash:
                     print(
-                        f"error: export target exists (use -o/--overwrite-results): {name}",
+                        "error: export targets exist (use -o/--overwrite-results): "
+                        + ", ".join(clash),
                         file=sys.stderr,
                     )
                     return 1
+            for pred in preds:
+                target = os.path.join(args.export_dir, sanitize_pred(pred) + ".csv")
                 w = runner.serialized(pred).write.mode("overwrite").option("escape", '"')
                 if args.gzip:
                     w = w.option("compression", "gzip")
@@ -155,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"{pred}({', '.join(row)}) .")
                     printed_something = True
 
+        trace_failed = False
         if args.trace:
             trees = []
             for fact in args.trace.split(";"):
@@ -164,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
                 tree = runner.trace(fact)
                 if tree is None:
                     print(f"{fact}: fact not derived", file=sys.stderr)
+                    trace_failed = True  # exit nonzero: scripts must see it
                     continue
                 trees.append(tree)
                 if not args.trace_output:
@@ -179,7 +190,9 @@ def main(argv: list[str] | None = None) -> int:
                 if args.trace_output.endswith(".json"):
                     body = trace_inferences_json(trees, rules_by_label)
                 else:
-                    body = "\n".join(trace_graphml(t, rules_by_label) for t in trees)
+                    # one merged <graphml> document — per-tree documents
+                    # concatenated would be non-well-formed XML
+                    body = trace_graphml(trees, rules_by_label)
                 with open(args.trace_output, "w") as f:
                     f.write(body)
 
@@ -205,7 +218,7 @@ def main(argv: list[str] | None = None) -> int:
                         f"{s['derived_rows']} facts, {s['applications']} applications "
                         f"(stratum {s['stratum']})"
                     )
-        return 0
+        return 1 if trace_failed else 0
     finally:
         spark.stop()
 

@@ -49,16 +49,22 @@ class CheckpointStore:
         path = self._path(name, step)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        lineage = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-            F.count(F.lit(1)).alias("rows")
-        ).select(
-            F.lit(name).alias("name"), F.lit(step).alias("step"), "partition_id", "rows"
+        # one scan total: collect the per-partition counts, then write the
+        # (tiny) lineage rows from the driver and reuse their sum for the
+        # meta sidecar — a separate out.count() would re-scan the snapshot
+        lineage_rows = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
         )
-        lineage.write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+        self.spark.createDataFrame(
+            [(name, step, r["partition_id"], r["rows"]) for r in lineage_rows],
+            "name string, step int, partition_id int, rows long",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(self.root, "_lineage"))
         meta = {
             "name": name,
             "step": step,
-            "rows": out.count(),
+            "rows": sum(r["rows"] for r in lineage_rows),
             "wall_sec": time.time() - t0,
             "metrics": metrics or {},
             "ts": time.time(),

@@ -59,13 +59,16 @@ def _rule_str(tree: dict, rules_by_label: dict | None) -> str:
     return str(label)
 
 
-def trace_graphml(tree: dict, rules_by_label: dict | None = None) -> str:
-    """GraphML rendering of one trace tree (trace.rs to_petgraph/to_graphml):
+def trace_graphml(tree: dict | list[dict], rules_by_label: dict | None = None) -> str:
+    """GraphML rendering of trace trees (trace.rs to_petgraph/to_graphml):
     every node is either a fact (``type=axiom``) or a rule application
-    (``type=DLRule``); edges point premise -> rule -> conclusion.
+    (``type=DLRule``); edges point premise -> rule -> conclusion. A LIST of
+    trees merges into ONE document (one <graphml> root — concatenating
+    separate documents per tree would be non-well-formed XML).
 
     ``rules_by_label`` (e.g. ``engine._rules_by_label``) upgrades the rule
     nodes' ``element`` from the bare label to the rule's full rendering."""
+    trees = tree if isinstance(tree, list) else [tree]
     nodes: list[tuple[str, str]] = []  # (type, element)
     edges: list[tuple[int, int]] = []
 
@@ -82,7 +85,8 @@ def trace_graphml(tree: dict, rules_by_label: dict | None = None) -> str:
         for premise in node.get("premises", []):
             visit(premise, rule_idx)
 
-    visit(tree, None)
+    for t in trees:
+        visit(t, None)
 
     out = [
         '<?xml version="1.0" encoding="UTF-8"?>',

@@ -91,7 +91,13 @@ def extract_features(assets: DataFrame, frame_stride_ms: int = 1000) -> DataFram
                     continue
                 vec = dec(bytes(payload), modality)
                 feats.append(vec.tolist())
-                n_frames.append(max(int(dur) // frame_stride_ms, 1) if modality == "video" else 1)
+                # NULL duration arrives as NaN (Arrow int column with nulls
+                # becomes float64 in pandas); a video without a known
+                # duration samples a single frame instead of crashing
+                if modality == "video" and not pd.isna(dur):
+                    n_frames.append(max(int(dur) // frame_stride_ms, 1))
+                else:
+                    n_frames.append(1)
                 oks.append(True)
             yield pd.DataFrame(
                 {

@@ -91,6 +91,24 @@ def plane(p: int, dim: int) -> list[float]:
     return [plane_component(p, j) for j in range(dim)]
 
 
+def _dim_checked(vec: Column, dim: int) -> Column:
+    """Fail LOUDLY when a vector's length disagrees with ``dim``.
+
+    ``zip_with`` null-pads the shorter array, one null poisons the dot
+    product to NULL, and the sign test's otherwise-branch then writes
+    sig/bucket 0 for EVERY row — silently degenerating the (band, sig)
+    equi-join into a per-band cross product and making bucketed top-k
+    return empty. assert_true raises at the first mismatched row instead."""
+    ok = F.assert_true(
+        F.size(vec) == dim,
+        F.concat(
+            F.lit(f"embedding dim mismatch: expected {dim}, got "),
+            F.size(vec).cast("string"),
+        ),
+    )
+    return F.when(ok.isNull(), vec)
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -116,7 +134,12 @@ def embedding_near_dups(
     ``exact=True``: all-pairs quadratic path (only for dimension-sized or
     per-bucket candidate sets — this is the correctness oracle, not the
     100-TB plan)."""
-    src = embeddings.select(F.col(id_col), F.col(vec_col))
+    # the exact path is dim-agnostic (pure pairwise cosine) — only the LSH
+    # branch projects onto dim-sized planes and needs the guard
+    src = embeddings.select(
+        F.col(id_col),
+        (F.col(vec_col) if exact else _dim_checked(F.col(vec_col), dim)).alias(vec_col),
+    )
     if exact:
         a = src.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
         b = src.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
@@ -150,10 +173,11 @@ def embedding_near_dups(
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH bucket id per row (deterministic integer-hash
     planes — reproducible by an external SQL oracle, see plane_component)."""
+    checked = _dim_checked(F.col(vec_col), dim)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         pl = F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
-        d = dot(F.col(vec_col), pl)
+        d = dot(checked, pl)
         bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return embeddings.withColumn("bucket", bucket)
 

@@ -43,8 +43,15 @@ def _row_salt(df: DataFrame, salt_factor: int) -> Column:
     # deterministic per-row salt beats rand(): retries/speculative tasks
     # recompute identical salts, so the join stays exactly-once under
     # failure (rand() re-rolls per attempt and can drop/duplicate matches
-    # mid-stage). Hash all columns; modulo spreads uniformly.
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_factor))
+    # mid-stage). Hash the hashable columns (xxhash64 rejects MapType —
+    # a properties map column must not break the join); modulo spreads
+    # uniformly.
+    from pyspark.sql.types import MapType
+
+    cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+    if not cols:  # degenerate all-map frame: constant salt, still correct
+        return F.lit(0)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_factor))
 
 
 def salted_join(

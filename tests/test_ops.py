@@ -428,3 +428,38 @@ def test_small_graph_gates_require_matching_types(spark):
     # Spark coerces the join keys)
     out = transitive_closure(mixed)
     assert out.count() >= 2
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """xxhash64 rejects MapType; the row salt must skip unhashable columns
+    instead of failing analysis for frames carrying a properties map."""
+    from nemo_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"k": "v"}), (1, {"k2": "v2"}), (2, {})],
+        "id int, props map<string,string>",
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    got = salted_join(big, small, on="id").select("id", "name").collect()
+    assert sorted((r.id, r.name) for r in got) == [(1, "a"), (1, "a"), (2, "b")]
+
+
+def test_embedding_dim_mismatch_fails_loudly(spark):
+    """A wrong `dim` must raise, not silently zero every LSH signature
+    (which degenerates the (band, sig) join into a cross product and makes
+    bucketed top-k return empty)."""
+    import pytest as _pytest
+
+    from nemo_spark.ops.similarity import bucketed_topk, embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    with _pytest.raises(Exception, match="dim mismatch"):
+        embedding_near_dups(emb, dim=8).collect()
+    with _pytest.raises(Exception, match="dim mismatch"):
+        bucketed_topk(emb, [1.0] * 8, k=1).collect()
+    # correct dim still works on both paths
+    assert embedding_near_dups(emb, dim=4, threshold=0.5).count() >= 0
+    assert embedding_near_dups(emb, exact=True, threshold=0.5).count() == 1

@@ -85,3 +85,17 @@ def test_multimodal_resize_plan(spark):
         | ((F.col("needs_resize") == False) & ((F.col("target_w") != F.col("width"))))  # noqa: E712
     )
     assert bad.isEmpty()
+
+
+def test_extract_features_null_duration(spark):
+    """A video asset with NULL duration_ms (NaN in pandas) must sample one
+    frame, not crash the stage with int(NaN)."""
+    from nemo_spark.ops.multimodal import extract_features
+
+    assets = spark.createDataFrame(
+        [(1, "video", None, bytearray(b"\x00\x01")), (2, "image", None, bytearray(b"\x02"))],
+        "asset_id long, modality string, duration_ms long, payload binary",
+    )
+    rows = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert rows[1].ok and rows[1].n_frames == 1
+    assert rows[2].ok and rows[2].n_frames == 1

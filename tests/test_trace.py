@@ -155,3 +155,20 @@ def test_trace_graphml_sanitizes_control_chars():
     xml = trace_graphml(tree)
     ET.fromstring(xml)  # well-formed
     assert "\x02" not in xml
+
+
+def test_trace_graphml_merges_multiple_trees():
+    """A LIST of trace trees must render as ONE well-formed GraphML document
+    (one root element); concatenated per-tree documents would be invalid
+    XML for any consumer."""
+    import xml.etree.ElementTree as ET
+
+    from nemo_spark.engine.trace_export import trace_graphml
+
+    t1 = {"fact": ("p", (1,)), "rule": "r1", "premises": [{"fact": ("e", (1,)), "rule": None, "premises": []}]}
+    t2 = {"fact": ("q", (2,)), "rule": "r2", "premises": []}
+    xml = trace_graphml([t1, t2])
+    root = ET.fromstring(xml)  # parses => single well-formed document
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    nodes = root.findall(f"{ns}graph/{ns}node")
+    assert len(nodes) == 5  # p + r1 + e, q + r2
