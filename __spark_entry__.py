@@ -514,8 +514,10 @@ named(?v) :- data(?n, <value>, ?v), ?v != "NATION_0" .
 """
         r = RlsRunner(spark, source=src, workdir="/tmp").run()
         # the rule must have been internalized into the import (the plan
-        # gate: no rules remain to evaluate)
-        assert r.compiled.program.rules == [], "json filter rule was not internalized"
+        # gate: no rules remain to evaluate); explicit raise so the gate
+        # survives python -O, like the sibling WCOJ/merged-SPARQL gates
+        if r.compiled.program.rules != []:
+            raise AssertionError("json filter rule was not internalized")
         return r.serialized("named")
     finally:
         os.unlink(path)

@@ -69,9 +69,15 @@ class IcebergCheckpointStore:
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.prefix}")
 
     def _tbl(self, name: str) -> str:
+        import hashlib
         import re
 
-        return f"{self.prefix}.{re.sub('[^A-Za-z0-9_]', '_', name)}"
+        safe = re.sub("[^A-Za-z0-9_]", "_", name)
+        if safe != name:
+            # collision-safe: 'stage.a' and 'stage a' must not share one
+            # table while meta/lineage keep them distinct
+            safe += "_" + hashlib.md5(name.encode()).hexdigest()[:8]
+        return f"{self.prefix}.{safe}"
 
     def snapshot(self, name: str, df: DataFrame, step: int, metrics: dict | None = None) -> DataFrame:
         t0 = time.time()
@@ -94,10 +100,15 @@ class IcebergCheckpointStore:
         snap_rows = self.spark.sql(
             f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).collect()
+        row_total = self.spark.table(f"{self.prefix}.lineage").filter(
+            (F.col("name") == name) & (F.col("step") == step)
+        ).agg(F.sum("rows")).collect()[0][0]
         meta = {
             "name": name,
             "step": step,
-            "rows": out.count(),
+            # summed from the lineage rows just written — a separate
+            # out.count() would re-scan the whole snapshot
+            "rows": int(row_total or 0),
             "wall_sec": time.time() - t0,
             "metrics": metrics or {},
             "ts": time.time(),
@@ -129,11 +140,14 @@ class IcebergCheckpointStore:
         tbl = self._tbl(name)
         if not self.spark.catalog.tableExists(tbl):
             return None
-        if step is None or step == self.latest_step(name):
+        if step is None:
             return self.spark.table(tbl)
-        # historical step: resolve via the snapshot id recorded in the meta
-        # row at snapshot() time (steps are caller-chosen round indices, so
-        # positional indexing into the snapshot list would be wrong)
+        # explicit step: ALWAYS resolve via the snapshot id recorded at
+        # snapshot() time. Steps are caller-chosen round indices — not
+        # consecutive, not necessarily monotone — so neither positional
+        # indexing nor a current-table shortcut for step==max(step) is
+        # sound (an out-of-order later snapshot may have replaced the
+        # table contents under a lower step number).
         for m in self.metrics(name):
             if m["step"] == step and m.get("snapshot_id") is not None:
                 return self.spark.read.option("snapshot-id", m["snapshot_id"]).table(tbl)

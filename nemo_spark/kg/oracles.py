@@ -9,8 +9,12 @@ correctness corpus is small; at scale only the Spark side runs.
 
 from __future__ import annotations
 
-from nemo_spark.kg.extract import TRIPLE_RE
+from nemo_spark.kg.extract import MENTION_RE, TRIPLE_RE  # noqa: F401 (TRIPLE_RE kept for callers)
 from nemo_spark.kg.transcripts import ALIAS_DICT_CTES, ALIAS_DICT_SQL, TRANSCRIPTS_SQL
+
+# prefix-capture form: same leftmost match as re.search(MENTION_RE), with the
+# prefix length giving the true span offset (mirrors _MENTION_SPAN_RE)
+_SPAN_RE = r"(?s)\A(.*?)" + MENTION_RE
 
 # ---------------------------------------------------------------- transcripts
 
@@ -27,31 +31,42 @@ GROUP BY conv_id
 
 # ------------------------------------------------------------------ extract
 
+# mirrors extract_triples_pandas: EVERY occurrence (str.extractall), not
+# only a sentence-initial one — parallel unnests zip positionally in DuckDB
 KG_EXTRACT = f"""
+WITH m AS (
+  SELECT conv_id, turn_idx,
+         regexp_extract_all(text, '{MENTION_RE}', 1) AS ss,
+         regexp_extract_all(text, '{MENTION_RE}', 2) AS ps,
+         regexp_extract_all(text, '{MENTION_RE}', 3) AS oo
+  FROM ({TRANSCRIPTS_SQL})
+)
 SELECT conv_id, turn_idx,
-       regexp_extract(text, '{TRIPLE_RE}', 1) AS subj_alias,
-       regexp_extract(text, '{TRIPLE_RE}', 2) AS pred,
-       regexp_extract(text, '{TRIPLE_RE}', 3) AS obj_alias
-FROM ({TRANSCRIPTS_SQL})
-WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
+       unnest(ss) AS subj_alias, unnest(ps) AS pred, unnest(oo) AS obj_alias
+FROM m
 """
 
+# mirrors extract_mentions_pandas: first match ANYWHERE in the turn, true
+# character offsets from the lazy prefix capture (span_start = len(prefix),
+# not 0 — a mid-text relation sentence must report its real position)
 KG_MENTIONS = f"""
 WITH ext AS (
   SELECT conv_id, turn_idx,
-         regexp_extract(text, '{TRIPLE_RE}', 1) AS s,
-         regexp_extract(text, '{TRIPLE_RE}', 2) AS p,
-         regexp_extract(text, '{TRIPLE_RE}', 3) AS o
+         regexp_extract(text, '{_SPAN_RE}', 1) AS pre,
+         regexp_extract(text, '{_SPAN_RE}', 2) AS s,
+         regexp_extract(text, '{_SPAN_RE}', 3) AS p,
+         regexp_extract(text, '{_SPAN_RE}', 4) AS o
   FROM ({TRANSCRIPTS_SQL})
-  WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
+  WHERE regexp_matches(text, '{MENTION_RE}')
 )
 SELECT conv_id, turn_idx, s AS mention,
-       CAST(0 AS INTEGER) AS span_start, CAST(LENGTH(s) AS INTEGER) AS span_end
+       CAST(LENGTH(pre) AS INTEGER) AS span_start,
+       CAST(LENGTH(pre) + LENGTH(s) AS INTEGER) AS span_end
 FROM ext
 UNION ALL
 SELECT conv_id, turn_idx, o AS mention,
-       CAST(LENGTH(s) + LENGTH(p) + 2 AS INTEGER) AS span_start,
-       CAST(LENGTH(s) + LENGTH(p) + 2 + LENGTH(o) AS INTEGER) AS span_end
+       CAST(LENGTH(pre) + LENGTH(s) + LENGTH(p) + 2 AS INTEGER) AS span_start,
+       CAST(LENGTH(pre) + LENGTH(s) + LENGTH(p) + 2 + LENGTH(o) AS INTEGER) AS span_end
 FROM ext
 """
 
@@ -59,9 +74,8 @@ KG_LINKED = f"""
 WITH {ALIAS_DICT_CTES},
 ext AS (
   SELECT conv_id, turn_idx,
-         regexp_extract(text, '{TRIPLE_RE}', 1) AS subj_alias
+         unnest(regexp_extract_all(text, '{MENTION_RE}', 1)) AS subj_alias
   FROM ({TRANSCRIPTS_SQL})
-  WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
 )
 SELECT ext.conv_id, ext.turn_idx, ext.subj_alias, ad.entity_id
 FROM ext JOIN ad ON ad.alias = ext.subj_alias
@@ -100,11 +114,12 @@ _TRIPLES_CTES = f"""
 {_CANON_CTES},
 tr AS ({TRANSCRIPTS_SQL}),
 ext AS (
-  SELECT regexp_extract(text, '{TRIPLE_RE}', 1) AS subj_alias,
-         regexp_extract(text, '{TRIPLE_RE}', 2) AS pred,
-         regexp_extract(text, '{TRIPLE_RE}', 3) AS obj_alias
+  -- mirrors the pipeline's feature extractor: FIRST match anywhere
+  SELECT regexp_extract(text, '{MENTION_RE}', 1) AS subj_alias,
+         regexp_extract(text, '{MENTION_RE}', 2) AS pred,
+         regexp_extract(text, '{MENTION_RE}', 3) AS obj_alias
   FROM tr
-  WHERE regexp_extract(text, '{TRIPLE_RE}', 1) <> ''
+  WHERE regexp_extract(text, '{MENTION_RE}', 1) <> ''
 ),
 triples AS (
   SELECT DISTINCT cs.canonical_id AS subj, ext.pred AS pred, co.canonical_id AS obj

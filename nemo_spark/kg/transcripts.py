@@ -87,6 +87,12 @@ def synth_transcripts(spark: SparkSession, n_turns: int, partitions: int | None 
     hot-conversation partition (~30% of rows) serializes — the exact skew this
     pipeline exists to avoid. The documents-derived variant (tiny, oracle-
     checked) keeps dense ranks."""
+    if n_turns > 2**31 - 1:
+        # the transcript contract types turn_idx int32; a global-id scheme
+        # past 2^31 would wrap (or ANSI-error). Real corpora at that scale
+        # have real conversation structure — synth callers should shard
+        # into multiple tables instead of silently corrupting ordering.
+        raise ValueError(f"synth_transcripts: n_turns {n_turns} exceeds int32 turn_idx")
     base = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
     filler = F.concat(F.lit("filler "), F.conv(F.col("id").cast("string"), 10, 16))
     df = _with_transcript_columns(base, "id", filler)
@@ -150,9 +156,13 @@ def alias_dict(spark: SparkSession) -> DataFrame:
     return out
 
 
-# composable CTE fragments (DuckDB rejects nested WITH inside a CTE body)
+# composable CTE fragments (DuckDB rejects nested WITH inside a CTE body).
+# ks enumerates ALL {N_ENTITIES} entities — exactly like alias_dict() above.
+# Deriving it from DISTINCT doc_id % N would silently diverge whenever the
+# documents table's doc_ids don't cover every residue class (obj_k =
+# (doc_id*7+3) % N can hit entities no doc_id maps to).
 ALIAS_DICT_CTES = f"""
-ks AS (SELECT DISTINCT doc_id % {N_ENTITIES} AS k FROM documents),
+ks AS (SELECT range AS k FROM range({N_ENTITIES})),
 ad AS (
   SELECT 'entity_' || CAST(k AS VARCHAR) AS alias, 'ent' || CAST(k AS VARCHAR) AS entity_id FROM ks
   UNION ALL

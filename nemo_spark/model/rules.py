@@ -164,9 +164,6 @@ class Rule:
     def negated_predicates(self) -> set[str]:
         return {a.pred for a in self.negated}
 
-    def label(self, idx: int) -> str:
-        return self.name or f"rule_{idx}"
-
 
 def rule_label(rule: "Rule", stratum_idx: int, ri: int) -> str:
     """Stable display label: the rule's name, or a STRATUM-qualified auto
