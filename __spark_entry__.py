@@ -371,6 +371,17 @@ def q_dedup_jaccard_verify(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters: banded-LSH pairs -> exact Jaccard verify ->
+    connected components -> (doc_id, cluster_id = min doc of component).
+    The transitive-closure step is what a pairwise dedup decision cannot
+    express (A~B, B~C must keep ONE doc even without the A~C pair); the
+    oracle reproduces it with a recursive CTE."""
+    from nemo_spark.ops.dedup import dedup_clusters
+
+    return dedup_clusters(_t(spark, sf, "documents"), threshold=0.5)
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     # md5-derived SimHash: bit-portable to DuckDB (oracle-checked); the
     # xxhash64 variant (simhash64) remains as the pure-Spark fast path
@@ -836,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_jaccard_verify": q_dedup_jaccard_verify,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "text_fingerprint": q_text_fingerprint,
@@ -987,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _DEDUP_MINHASH_SQL,
         "dedup_lsh_pairs": _DEDUP_LSH_PAIRS_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_hamming": _simhash_hamming_sql(),
         "rls_datalog": """
@@ -1196,6 +1209,38 @@ SELECT DISTINCT a, b FROM (
   SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band3 = y.band3 AND x.doc_id < y.doc_id
 )
 """
+
+_DEDUP_CLUSTERS_SQL_TEMPLATE = """
+WITH RECURSIVE {ctes},
+cpairs AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b FROM mh x JOIN mh y ON x.band0 = y.band0 AND x.doc_id < y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band1 = y.band1 AND x.doc_id < y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band2 = y.band2 AND x.doc_id < y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band3 = y.band3 AND x.doc_id < y.doc_id
+  )
+),
+vpairs AS (
+  SELECT p.a, p.b FROM cpairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) >= 0.5
+),
+edges AS (SELECT a AS src, b AS dst FROM vpairs UNION SELECT b, a FROM vpairs),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+_DEDUP_CLUSTERS_SQL = _DEDUP_CLUSTERS_SQL_TEMPLATE.format(ctes=_MINHASH_CTES)
+
 
 _DEDUP_JACCARD_SQL = f"""
 WITH {_MINHASH_CTES},

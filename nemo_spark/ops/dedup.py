@@ -121,6 +121,40 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: (doc_id, cluster_id) where cluster_id is the
+    min doc id of the doc's connected component in the verified near-dup
+    pair graph — the canonical representative a dedup pass keeps. Docs with
+    no near-duplicate are their own cluster.
+
+    This closes the dedup workflow: pairwise near-dup detection alone
+    over-deletes (A~B and B~C without A~C must still collapse to ONE kept
+    doc, not two independent pair decisions). Scale path end to end: pairs
+    come from the banded LSH self-join (never all-pairs), the component
+    step is the O(log n) alternating-star CC, and the final membership map
+    is a left join — no stage is quadratic."""
+    from nemo_spark.kg.canonicalize import connected_components
+
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(df, id_col, text_col, bands), df, id_col, text_col, k, threshold
+    )
+    comp = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).withColumnRenamed("node", id_col)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, on=id_col, how="left")
+        .select(F.col(id_col), F.coalesce("component", F.col(id_col)).alias("cluster_id"))
+    )
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 1) -> DataFrame:
     """64-bit SimHash over token k-grams (k=1: tokens), pure Catalyst.
 

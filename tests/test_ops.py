@@ -463,3 +463,22 @@ def test_embedding_dim_mismatch_fails_loudly(spark):
     # correct dim still works on both paths
     assert embedding_near_dups(emb, dim=4, threshold=0.5).count() >= 0
     assert embedding_near_dups(emb, exact=True, threshold=0.5).count() == 1
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster even without a direct A~C pair —
+    the property pairwise dedup decisions cannot express."""
+    from nemo_spark.ops.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (10, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (11, "w1 w2 w3 w4 w5 w6 w7 zz"),   # near 10
+            (12, "w1 w2 w3 w4 w5 w6 yy zz"),   # near 11, farther from 10
+            (13, "a b c d e f g h"),           # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, threshold=0.5).collect()}
+    assert got[10] == got[11] == got[12] == 10
+    assert got[13] == 13
