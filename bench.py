@@ -179,6 +179,9 @@ def bench_scaling(sf_dir: str) -> dict:
     except ValueError:
         override = 0  # empty/garbage value = unset
     n_turns = override if override > 0 else max(int(1_000_000_000 * sf), 2_000_000)
+    # synth_transcripts types turn_idx int32 (the transcript contract);
+    # clamp so a large sf dir measures at the cap instead of crashing
+    n_turns = min(n_turns, 2**31 - 1)
     tmp = tempfile.mkdtemp(prefix="nemo_spark_corpus_")
     corpus_dir = os.path.join(tmp, "transcripts")
 

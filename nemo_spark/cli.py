@@ -134,6 +134,16 @@ def main(argv: list[str] | None = None) -> int:
         elif args.export != "none":
             os.makedirs(args.export_dir, exist_ok=True)
             preds = _class_predicates(runner, args.export)
+            # two predicates sanitizing to one filename would silently
+            # overwrite each other WITHIN this run — always an error
+            by_file: dict[str, list[str]] = {}
+            for p in preds:
+                by_file.setdefault(sanitize_pred(p) + ".csv", []).append(p)
+            dupes = {f: ps for f, ps in by_file.items() if len(ps) > 1}
+            if dupes:
+                msg = "; ".join(f"{f} <- {', '.join(ps)}" for f, ps in dupes.items())
+                print(f"error: export filename collision: {msg}", file=sys.stderr)
+                return 1
             if not args.overwrite_results:
                 # check EVERY target before writing ANY — aborting halfway
                 # would leave a partial export behind a failure exit code

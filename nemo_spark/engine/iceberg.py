@@ -76,7 +76,14 @@ class IcebergCheckpointStore:
         if safe != name:
             # collision-safe: 'stage.a' and 'stage a' must not share one
             # table while meta/lineage keep them distinct
-            safe += "_" + hashlib.md5(name.encode()).hexdigest()[:8]
+            hashed = f"{self.prefix}.{safe}_{hashlib.md5(name.encode()).hexdigest()[:8]}"
+            # legacy warehouses (pre-hash naming) keep resolving: only fall
+            # back when the hashed table is absent AND the plain one exists
+            if not self.spark.catalog.tableExists(hashed) and self.spark.catalog.tableExists(
+                f"{self.prefix}.{safe}"
+            ):
+                return f"{self.prefix}.{safe}"
+            return hashed
         return f"{self.prefix}.{safe}"
 
     def snapshot(self, name: str, df: DataFrame, step: int, metrics: dict | None = None) -> DataFrame:
@@ -84,15 +91,16 @@ class IcebergCheckpointStore:
         tbl = self._tbl(name)
         df.writeTo(tbl).createOrReplace()
         out = self.spark.table(tbl)
-        lineage = (
+        # one scan total: collect the per-partition counts, write the tiny
+        # lineage rows from the driver, and reuse their sum for meta rows
+        lineage_rows = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
-            .select(
-                F.lit(name).alias("name"),
-                F.lit(step).alias("step"),
-                "partition_id",
-                "rows",
-            )
+            .collect()
+        )
+        lineage = self.spark.createDataFrame(
+            [(name, step, r["partition_id"], r["rows"]) for r in lineage_rows],
+            "name string, step int, partition_id int, rows long",
         )
         lineage.writeTo(f"{self.prefix}.lineage").append() if self.spark.catalog.tableExists(
             f"{self.prefix}.lineage"
@@ -100,15 +108,14 @@ class IcebergCheckpointStore:
         snap_rows = self.spark.sql(
             f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).collect()
-        row_total = self.spark.table(f"{self.prefix}.lineage").filter(
-            (F.col("name") == name) & (F.col("step") == step)
-        ).agg(F.sum("rows")).collect()[0][0]
         meta = {
             "name": name,
             "step": step,
-            # summed from the lineage rows just written — a separate
-            # out.count() would re-scan the whole snapshot
-            "rows": int(row_total or 0),
+            # summed from THIS write's lineage rows (collected above) — a
+            # table-level sum over (name, step) would double-count when the
+            # same step is re-snapshotted (lineage is append-only), and a
+            # separate out.count() would re-scan the whole snapshot
+            "rows": sum(r["rows"] for r in lineage_rows),
             "wall_sec": time.time() - t0,
             "metrics": metrics or {},
             "ts": time.time(),
@@ -142,15 +149,24 @@ class IcebergCheckpointStore:
             return None
         if step is None:
             return self.spark.table(tbl)
-        # explicit step: ALWAYS resolve via the snapshot id recorded at
-        # snapshot() time. Steps are caller-chosen round indices — not
-        # consecutive, not necessarily monotone — so neither positional
-        # indexing nor a current-table shortcut for step==max(step) is
-        # sound (an out-of-order later snapshot may have replaced the
-        # table contents under a lower step number).
+        # explicit step: resolve via the snapshot id recorded at snapshot()
+        # time. Steps are caller-chosen round indices — not consecutive,
+        # not necessarily monotone — so neither positional indexing nor a
+        # current-table shortcut for step==max(step) is sound (an
+        # out-of-order later snapshot may have replaced the table contents
+        # under a lower step number).
+        saw_step = False
         for m in self.metrics(name):
-            if m["step"] == step and m.get("snapshot_id") is not None:
-                return self.spark.read.option("snapshot-id", m["snapshot_id"]).table(tbl)
+            if m["step"] == step:
+                saw_step = True
+                if m.get("snapshot_id") is not None:
+                    return self.spark.read.option("snapshot-id", m["snapshot_id"]).table(tbl)
+        if saw_step and step == self.latest_step(name):
+            # legacy meta rows without a snapshot_id: the latest step's data
+            # IS the current table unless an out-of-order snapshot happened,
+            # which the id-recording code path would have captured — fall
+            # back instead of reporting an existing checkpoint as missing
+            return self.spark.table(tbl)
         return None
 
     def lineage(self) -> DataFrame:

@@ -28,8 +28,18 @@ from pyspark.sql import functions as F
 
 from nemo_spark.kg.transcripts import TRIPLE_RE
 
+# the relation grammar, defined ONCE — every regex below derives from these
+# two pieces so adding a predicate or alias prefix updates all extractors
+# and (via MENTION_RE import) the DuckDB oracles together
+_ALIAS_RE = r"(?:entity_|ent-|E\.)\d+"
+_PREDS_RE = r"works_at|located_in|part_of"
+
 # all-occurrences pattern for the general extractor (not only sentence-initial)
-MENTION_RE = r"((?:entity_|ent-|E\.)\d+) (works_at|located_in|part_of) ((?:entity_|ent-|E\.)\d+) \."
+MENTION_RE = rf"({_ALIAS_RE}) ({_PREDS_RE}) ({_ALIAS_RE}) \."
+# named-group form (pyarrow extract_regex names its struct fields from these)
+NAMED_MENTION_RE = (
+    rf"(?P<subj_alias>{_ALIAS_RE}) (?P<pred>{_PREDS_RE}) (?P<obj_alias>{_ALIAS_RE}) \."
+)
 
 TRIPLES_RAW_SCHEMA = (
     "conv_id string, turn_idx int, subj_alias string, pred string, obj_alias string"
@@ -79,10 +89,7 @@ def extract_triples_pandas(
     return cols.mapInPandas(extract, schema=TRIPLES_RAW_SCHEMA)
 
 
-ARROW_TRIPLE_RE = (
-    r"^(?P<subj_alias>(?:entity_|ent-|E\.)\d+) (?P<pred>works_at|located_in|part_of)"
-    r" (?P<obj_alias>(?:entity_|ent-|E\.)\d+) \."
-)
+ARROW_TRIPLE_RE = "^" + NAMED_MENTION_RE
 
 
 def extract_triples_arrow(transcripts: DataFrame) -> DataFrame:
@@ -149,7 +156,11 @@ def extract_turn_features_pandas(transcripts: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            t = pdf["text"]
+            # null text = empty turn, EXPLICITLY (both feature extractors
+            # share this contract): no triple, zero counts, lang 'unk',
+            # fp = hash("") — NaN propagation would otherwise leak nulls
+            # into int columns and diverge between the two implementations
+            t = pdf["text"].fillna("")
             hits = t.str.extract(triple_pat)
             hits.columns = ["subj_alias", "pred", "obj_alias"]
             out = pd.concat([pdf[["conv_id", "turn_idx"]], hits], axis=1)
@@ -194,17 +205,17 @@ def extract_turn_features_arrow(transcripts: DataFrame) -> DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    named_re = (
-        r"(?P<subj_alias>(?:entity_|ent-|E\.)\d+) (?P<pred>works_at|located_in|part_of)"
-        r" (?P<obj_alias>(?:entity_|ent-|E\.)\d+) \."
-    )
+    named_re = NAMED_MENTION_RE
     stop_re = _STOPWORD_RE.pattern
     mention_re = _MENTION_ONLY_RE.pattern
     langs = [(name, rx.pattern) for name, rx in _LANG_RES.items()]
 
     def extract(batches):
         for batch in batches:
-            t = batch.column("text")
+            # null text = empty turn (same contract as the pandas variant);
+            # without the fill, null propagates through the count kernels
+            # and the lang tie-break chain emits null instead of 'unk'
+            t = pc.fill_null(batch.column("text"), "")
             hits = pc.extract_regex(t, pattern=named_re)
             valid = hits.is_valid()
             n_tokens = pc.add(pc.count_substring(t, pattern=" "), 1)

@@ -9,12 +9,17 @@ correctness corpus is small; at scale only the Spark side runs.
 
 from __future__ import annotations
 
-from nemo_spark.kg.extract import MENTION_RE, TRIPLE_RE  # noqa: F401 (TRIPLE_RE kept for callers)
+from nemo_spark.kg.extract import (  # noqa: F401 (TRIPLE_RE kept for callers)
+    _MENTION_SPAN_RE,
+    MENTION_RE,
+    TRIPLE_RE,
+)
 from nemo_spark.kg.transcripts import ALIAS_DICT_CTES, ALIAS_DICT_SQL, TRANSCRIPTS_SQL
 
-# prefix-capture form: same leftmost match as re.search(MENTION_RE), with the
-# prefix length giving the true span offset (mirrors _MENTION_SPAN_RE)
-_SPAN_RE = r"(?s)\A(.*?)" + MENTION_RE
+# the EXACT prefix-capture pattern the mentions extractor compiles — one
+# source of truth, so a grammar change can never desynchronize the oracle
+# (both engines are RE2-compatible: `(?s)\A(.*?)` works in DuckDB too)
+_SPAN_RE = _MENTION_SPAN_RE.pattern
 
 # ---------------------------------------------------------------- transcripts
 

@@ -46,9 +46,20 @@ def _row_salt(df: DataFrame, salt_factor: int) -> Column:
     # mid-stage). Hash the hashable columns (xxhash64 rejects MapType —
     # a properties map column must not break the join); modulo spreads
     # uniformly.
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+    def hashable(dt) -> bool:
+        # xxhash64 rejects MapType RECURSIVELY (maps nested inside structs
+        # or arrays fail analysis too)
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(hashable(f.dataType) for f in dt.fields)
+        return True
+
+    cols = [f.name for f in df.schema.fields if hashable(f.dataType)]
     if not cols:  # degenerate all-map frame: constant salt, still correct
         return F.lit(0)
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_factor))

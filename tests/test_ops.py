@@ -378,6 +378,8 @@ def test_feature_extractors_identical(spark):
             ("e", 1, "x"),
             ("e", 2, "la la la que y"),
             ("e", 3, "E.9 part_of E.10 . der und das ist"),
+            ("e", 4, None),  # null text = empty turn on BOTH paths
+            ("e", 5, ""),
         ],
         "conv_id string, turn_idx int, text string",
     )
