@@ -444,6 +444,19 @@ def q_knn_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_kg_link_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding entity linking: top-1 entity per mention vector, cosine
+    scored in Arrow batches against a broadcast unit-normalized dictionary
+    (the first 32 vectors stand in for the entity catalogue)."""
+    from nemo_spark.kg.link import link_embedding
+
+    emb = _t(spark, sf, "embeddings")
+    ents = emb.filter(F.col("vec_id") < 32).select(F.col("vec_id").alias("entity_id"), "embedding")
+    mentions = emb.filter(F.col("vec_id") >= 32)
+    out = link_embedding(mentions, ents)
+    return out.select("vec_id", "entity_id", F.round("score", 6).alias("score"))
+
+
 def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
     from nemo_spark.ops.similarity import brute_force_topk
 
@@ -835,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": q_kg_mentions,
         "kg_linked": q_kg_linked,
         "kg_link_scored": q_kg_link_scored,
+        "kg_link_embedding": q_kg_link_embedding,
         "kg_alias_dict": q_kg_alias_dict,
         "kg_canonical_map": q_kg_canonical_map,
         "kg_triples": q_kg_triples,
@@ -1064,6 +1078,17 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(epoch(ts) - lag(epoch(ts)) OVER w > 3600.0, TRUE) AS session_start
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "kg_link_embedding": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            ents AS (SELECT vec_id AS entity_id, v FROM e WHERE vec_id < 32),
+            m AS (SELECT vec_id, v FROM e WHERE vec_id >= 32),
+            sc AS (SELECT m.vec_id, ents.entity_id, list_cosine_similarity(m.v, ents.v) AS score
+                   FROM m CROSS JOIN ents),
+            r AS (SELECT vec_id, entity_id, score,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, entity_id) AS rn
+                  FROM sc)
+            SELECT vec_id, entity_id, ROUND(score, 6) AS score FROM r WHERE rn = 1
         """,
         "knn_cosine": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -13,6 +13,9 @@ the score column is a nemo Function op (``tabular/operations/function.rs``).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,6 +71,87 @@ def link_scored(
         F.col("score") >= F.lit(min_score)
     )
     return scored.drop("__mg", "__ag", "__blk")
+
+
+def link_embedding(
+    mentions: DataFrame,
+    entity_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    entity_id_col: str = "entity_id",
+    entity_vec_col: str = "embedding",
+    min_score: float = 0.0,
+    top1: bool = True,
+) -> DataFrame:
+    """Embedding-similarity entity linking, scored in Arrow batches.
+
+    The entity dictionary (``entity_vecs``: one embedding per entity) is
+    dimension-sized, so it ships to every executor as a Spark broadcast
+    variable holding a unit-normalized numpy matrix; each Arrow batch of
+    mentions is scored against ALL entities with one float64 matrix product
+    — no join, no shuffle of the mention table, no per-row Python. This is
+    the "Jaccard/embedding similarity in Arrow batches" linking path the
+    string-based :func:`link_scored` complements.
+
+    ``top1=True`` (default): best entity per mention — max cosine, ties
+    broken by MIN entity_id (the hash-min canonicalization convention,
+    matching :func:`best_candidate`); rows below ``min_score`` drop.
+    ``top1=False``: every (mention, entity) pair with cosine >= min_score.
+
+    Zero vectors score 0.0 against everything (same convention as
+    ops/similarity.cosine). A mention whose vector length disagrees with
+    the dictionary's fails loudly in the matrix product.
+
+    nemo analogy: linking is a join against an EDB relation with a Function
+    score column (``tabular/operations/function.rs``); the broadcast
+    dictionary is nemo's in-memory dictionary table.
+
+    At 100 TB: mentions stream through in one narrow pass; the only driver
+    materialization is the dictionary itself (a model parameter, not data).
+    A 100M-entity catalogue outgrows a broadcast — at that size shard the
+    dictionary with the LSH buckets of ops/similarity.lsh_buckets and
+    equi-join on bucket instead.
+    """
+    import numpy as np
+
+    spark = mentions.sparkSession
+    ent_pdf = (
+        entity_vecs.select(entity_id_col, entity_vec_col)
+        .orderBy(entity_id_col)  # ascending ids => argmax's first-max IS the min-id tie-break
+        .toPandas()
+    )
+    ent_ids = ent_pdf[entity_id_col].to_numpy()
+    emat = np.stack(ent_pdf[entity_vec_col].map(lambda v: np.asarray(v, dtype="float64")).to_numpy())
+    enorm = np.linalg.norm(emat, axis=1, keepdims=True)
+    eunit = np.divide(emat, enorm, out=np.zeros_like(emat), where=enorm > 0)
+    bc = spark.sparkContext.broadcast((ent_ids, eunit))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, ents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype="float64")).to_numpy())
+            mnorm = np.linalg.norm(m, axis=1, keepdims=True)
+            munit = np.divide(m, mnorm, out=np.zeros_like(m), where=mnorm > 0)
+            s = munit @ ents.T  # (batch, entities) cosine matrix
+            mids = pdf[id_col].to_numpy()
+            if top1:
+                j = s.argmax(axis=1)
+                best = s[np.arange(len(s)), j]
+                keep = best >= min_score
+                yield pd.DataFrame(
+                    {id_col: mids[keep], entity_id_col: ids[j[keep]], "score": best[keep]}
+                )
+            else:
+                r, c = np.nonzero(s >= min_score)
+                yield pd.DataFrame({id_col: mids[r], entity_id_col: ids[c], "score": s[r, c]})
+
+    id_type = mentions.schema[id_col].dataType.simpleString()
+    ent_id_type = entity_vecs.schema[entity_id_col].dataType.simpleString()
+    return mentions.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} {id_type}, {entity_id_col} {ent_id_type}, score double"
+    )
 
 
 def best_candidate(scored: DataFrame, key_cols: list[str], score_col: str = "score") -> DataFrame:

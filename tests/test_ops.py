@@ -7,7 +7,7 @@ import io
 
 from pyspark.sql import functions as F
 
-from nemo_spark.kg.link import best_candidate, jaccard, char_ngrams, link_scored
+from nemo_spark.kg.link import best_candidate, jaccard, char_ngrams, link_embedding, link_scored
 from nemo_spark.ops.dedup import exact_dedup, jaccard_verify, lsh_candidate_pairs, simhash64
 from nemo_spark.ops.graph import transitive_closure
 from nemo_spark.ops.similarity import brute_force_topk, bucketed_topk, cosine, pandas_cosine_scores
@@ -23,6 +23,50 @@ def test_link_scored_exact_and_fuzzy(spark):
     assert best["entity_7"] == ("ent7", 1.0)  # exact alias
     assert best["entity7"][0] == "ent7" and 0.4 <= best["entity7"][1] < 1.0  # fuzzy
     assert "zzz" not in best  # below threshold / blocked
+
+
+def test_link_embedding_matches_catalyst_cosine(spark):
+    # A/B: the Arrow-batched broadcast scorer vs a Catalyst cross-join cosine
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    mentions = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+        + [(99, [0.0] * dim)],  # zero vector scores 0.0 everywhere
+        "vec_id int, embedding array<double>",
+    )
+    ents = spark.createDataFrame(
+        [(f"e{j}", [rng.uniform(-1, 1) for _ in range(dim)]) for j in range(5)],
+        "entity_id string, embedding array<double>",
+    )
+    got = link_embedding(mentions, ents, min_score=0.2, top1=False).select(
+        "vec_id", "entity_id", F.round("score", 9).alias("score")
+    )
+    m = mentions.select("vec_id", F.col("embedding").alias("__mv"))
+    e = ents.select("entity_id", F.col("embedding").alias("__ev"))
+    want = (
+        m.crossJoin(F.broadcast(e))
+        .select("vec_id", "entity_id", cosine(F.col("__mv"), F.col("__ev")).alias("score"))
+        .filter(F.col("score") >= 0.2)
+        .select("vec_id", "entity_id", F.round("score", 9).alias("score"))
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_link_embedding_top1_min_id_tiebreak(spark):
+    # two entities with the IDENTICAL vector: top1 must pick the min entity_id
+    mentions = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, embedding array<double>")
+    ents = spark.createDataFrame(
+        [("b", [1.0, 0.0]), ("a", [1.0, 0.0]), ("c", [0.0, 2.0])],
+        "entity_id string, embedding array<double>",
+    )
+    rows = {r.vec_id: (r.entity_id, r.score) for r in link_embedding(mentions, ents).collect()}
+    assert rows[1] == ("a", 1.0)  # tie between a and b -> min id
+    assert rows[2] == ("c", 1.0)  # scale-invariant cosine
+    # min_score drops sub-threshold mentions entirely in top1 mode
+    orth = link_embedding(mentions.filter("vec_id = 2"), ents.filter("entity_id <> 'c'"), min_score=0.5)
+    assert orth.count() == 0
 
 
 def test_exact_dedup_keeps_min_id(spark):
