@@ -83,8 +83,14 @@ class LocalFixpoint:
         # the same shape as the distributed engine's _provenance, so
         # trace_tree attributes rules identically on both paths
         self.records: list[tuple[str, str, int, frozenset]] = []
+        # per-rule-per-round report stats (label, round, wall_sec, fresh) —
+        # feeds the engine's RoundMetrics so ``report()`` / ``timing()``
+        # attribute time per rule on this path too
+        self.round_stats: list[tuple[str, int, float, int]] = []
 
     def run(self, rules: list[Rule]) -> dict[str, set]:
+        import time as _time
+
         deltas = {p: set(rows) for p, rows in self.tables.items()}
         first = True
         round_no = 0
@@ -95,6 +101,8 @@ class LocalFixpoint:
                 variants = [None] if first else [
                     i for i, a in enumerate(rule.body) if a.pred in deltas and deltas[a.pred]
                 ]
+                t_rule = _time.perf_counter()
+                fresh_rule = 0
                 for variant in variants:
                     for derived_pred, rows in self._apply(rule, variant, deltas).items():
                         tbl = self.tables.setdefault(derived_pred, set())
@@ -107,11 +115,21 @@ class LocalFixpoint:
                             self.records.append(
                                 (derived_pred, rule_label(rule, self.stratum_idx, ri), round_no, frozenset(fresh))
                             )
+                            fresh_rule += len(fresh)
                             self._derived_count += len(fresh)
                             if self._derived_count > self.max_derived:
                                 raise LocalOverflow(
                                     f"local fixpoint derived > {self.max_derived} facts"
                                 )
+                if variants:
+                    self.round_stats.append(
+                        (
+                            rule_label(rule, self.stratum_idx, ri),
+                            round_no,
+                            _time.perf_counter() - t_rule,
+                            fresh_rule,
+                        )
+                    )
             first = False
             round_no += 1
             deltas = next_deltas

@@ -774,8 +774,17 @@ class SemiNaiveEngine:
                 else self.spark.createDataFrame(list(rows), _cols(self._arity[pred]))
             )
             fresh, cnt = self._merge(pred, df)
-            self._record(stratum_idx, 0, "local_fixpoint", cnt, time.time() - t0)
-            t0 = time.time()
+        # per-rule attribution (report()/timing() parity with the distributed
+        # path): the local pass evaluates rule-by-rule in Python, so its
+        # measured per-rule walls are real; residual Spark collect/merge time
+        # goes under the 'local_fixpoint' label with cnt 0
+        rule_wall = 0.0
+        for label, round_no, wall, fresh_cnt in lf.round_stats:
+            self._record(stratum_idx, round_no, label, fresh_cnt, wall)
+            rule_wall += wall
+        self._record(
+            stratum_idx, 0, "local_fixpoint", 0, max(time.time() - t0 - rule_wall, 0.0)
+        )
         if self.trace:
             # per-rule derivation records, same shape as the distributed
             # path's — trace_tree attributes rules identically whichever

@@ -132,6 +132,11 @@ class AtomAST:
 class RuleAST:
     heads: list[AtomAST]
     body: list  # ('atom', AtomAST) | ('neg', AtomAST) | ('expr', expr-node)
+    # rule attributes (``#[name("...")] #[display(f"...")]`` prefixes,
+    # nemo/src/rule_model/components/rule.rs attributes): attribute name ->
+    # argument term node (one argument each; unknown names are preserved
+    # here and ignored downstream, matching the reference's lenient set)
+    attrs: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -180,6 +185,7 @@ _TOKEN_RES = [
     ("VAR", r"\?[A-Za-z][A-Za-z0-9_]*"),
     ("EVAR", r"![A-Za-z][A-Za-z0-9_]*"),
     ("PARAM", r"\$[A-Za-z][A-Za-z0-9_]*"),
+    ("ATTR", r"#\["),  # rule attribute opener; must precede AGG (both start '#')
     ("AGG", r"#[A-Za-z]+"),
     ("DIRECTIVE", r"@[A-Za-z]+"),
     ("IRIREF", r"<[^<>\s]*>"),
@@ -278,6 +284,23 @@ class Parser:
             else:
                 self._fact_or_rule(prog)
         return prog
+
+    def _attributes(self) -> dict:
+        """``#[name(args...)]`` prefixes before a rule. One argument term is
+        kept per attribute (name/display each take exactly one); trailing
+        arguments of unknown multi-arg attributes are parsed and dropped."""
+        attrs: dict = {}
+        while self.peek().kind == "ATTR":
+            self.next()
+            key = self.expect("NAME").text
+            self.expect("PUNCT", "(")
+            args = [self._expr()]
+            while self.accept("PUNCT", ","):
+                args.append(self._expr())
+            self.expect("PUNCT", ")")
+            self.expect("PUNCT", "]")
+            attrs[key] = args[0]
+        return attrs
 
     # ---- directives
 
@@ -379,6 +402,7 @@ class Parser:
         raise SyntaxError(f"rls: expected predicate name, got {t.text!r}")
 
     def _fact_or_rule(self, prog: ProgramAST) -> None:
+        attrs = self._attributes()
         heads = [self._atom()]
         while self.accept("PUNCT", ","):
             heads.append(self._atom())
@@ -387,9 +411,11 @@ class Parser:
             while self.accept("PUNCT", ","):
                 body.append(self._body_item())
             self.expect("PUNCT", ".")
-            prog.rules.append(RuleAST(heads, body))
+            prog.rules.append(RuleAST(heads, body, attrs=attrs))
         else:
             self.expect("PUNCT", ".")
+            if attrs:
+                raise SyntaxError("rls: attributes are only allowed on rules")
             if len(heads) != 1:
                 raise SyntaxError("rls: fact statements have a single atom")
             prog.facts.append(heads[0])
