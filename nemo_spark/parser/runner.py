@@ -503,44 +503,59 @@ class RlsRunner:
         with _interpreted_expressions(self.spark):
             return ser.localCheckpoint(eager=True)
 
+    def serialize_export(self, df: DataFrame, exp) -> tuple[DataFrame, str, dict]:
+        """(serialized frame, writer format ``'text'``/``'csv'``, writer
+        options) for ONE @export — the single source of truth that both
+        :meth:`write_exports` and the Python bindings' ``write_result``
+        drive, so limit/delimiter/compression semantics can't drift.
+        Must run (and the returned frame be written) inside an
+        ``_interpreted_expressions`` scope."""
+        if exp.fmt in _RDF_FMTS:
+            from nemo_spark.sources.rdf_typed import serialize_rdf_typed
+
+            fmt = exp.fmt
+            if fmt == "rdf":
+                fmt = "nquads" if len(df.columns) == 4 else "ntriples"
+            ser, kind, opts = serialize_rdf_typed(df, fmt), "text", {}
+        else:
+            sep = _DELIM.get(exp.fmt) or (
+                self._option_value(exp, "delimiter").lexical()
+                if "delimiter" in exp.options
+                else ","
+            )
+            # ONE serializer for both surfaces: the same Arrow-batched
+            # Value.dsv_any pass as serialized() (parity-tested against
+            # every reference golden; also handles nullary predicates,
+            # whose unit column is a plain string)
+            if exp.pred in self.compiled.nullary:
+                ser = df.limit(1).select(F.lit("").alias("c0"))
+            else:
+                ser = _flatten_values(df).mapInPandas(
+                    _serialize_batches(df.columns),
+                    schema=", ".join(f"{c} string" for c in df.columns),
+                )
+            # escape = quote char: standard CSV quote-doubling, matching
+            # the reference's csv crate double_quote(true) writer
+            # (dsv/writer.rs:42-44); Spark's default backslash-escape
+            # would diverge on cells containing quotes
+            kind, opts = "csv", {"sep": sep, "escape": '"'}
+        if self._compression(exp) == "gzip":
+            opts["compression"] = "gzip"
+        return ser, kind, opts
+
     def write_exports(self, out_dir: str) -> None:
         os.makedirs(out_dir, exist_ok=True)
         with _interpreted_expressions(self.spark):
             for name, (df, exp) in self.export_frames().items():
-                if exp.fmt in _RDF_FMTS:
-                    from nemo_spark.sources.rdf_typed import serialize_rdf_typed
-
-                    fmt = exp.fmt
-                    if fmt == "rdf":
-                        fmt = "nquads" if len(df.columns) == 4 else "ntriples"
-                    serialize_rdf_typed(df, fmt).write.mode("overwrite").text(
-                        os.path.join(out_dir, name)
-                    )
-                    continue
-                sep = _DELIM.get(exp.fmt) or (
-                    self._option_value(exp, "delimiter").lexical()
-                    if "delimiter" in exp.options
-                    else ","
-                )
-                # ONE serializer for both surfaces: the same Arrow-batched
-                # Value.dsv_any pass as serialized() (parity-tested against
-                # every reference golden; also handles nullary predicates,
-                # whose unit column is a plain string)
-                if exp.pred in self.compiled.nullary:
-                    ser = df.limit(1).select(F.lit("").alias("c0"))
+                ser, kind, opts = self.serialize_export(df, exp)
+                w = ser.write.mode("overwrite")
+                for k, v in opts.items():
+                    w = w.option(k, v)
+                target = os.path.join(out_dir, name)
+                if kind == "text":
+                    w.text(target)
                 else:
-                    ser = _flatten_values(df).mapInPandas(
-                        _serialize_batches(df.columns),
-                        schema=", ".join(f"{c} string" for c in df.columns),
-                    )
-                # escape = quote char: standard CSV quote-doubling, matching
-                # the reference's csv crate double_quote(true) writer
-                # (dsv/writer.rs:42-44); Spark's default backslash-escape
-                # would diverge on cells containing quotes
-                w = ser.write.mode("overwrite").option("sep", sep).option("escape", '"')
-                if self._compression(exp) == "gzip":
-                    w = w.option("compression", "gzip")
-                w.csv(os.path.join(out_dir, name))
+                    w.csv(target)
 
 
 def _flatten_values(df: DataFrame) -> DataFrame:

@@ -30,7 +30,6 @@ Parity notes (each mirrors a lib.rs behavior):
 
 from __future__ import annotations
 
-import gzip as _gzip
 import os
 import re
 import shutil
@@ -103,6 +102,11 @@ class NemoProgram:
         out, seen = [], set()
         for rule in self._compiled.program.rules:
             for head in rule.heads():
+                # the reference's SetDefaultOutputs runs on the SOURCE rule
+                # model; compiler-minted intermediates (``__agg_rN`` splits)
+                # are not user predicates and must not leak
+                if head.pred.startswith("__"):
+                    continue
                 if head.pred not in seen:
                     seen.add(head.pred)
                     out.append(head.pred)
@@ -186,7 +190,14 @@ def _as_value(v) -> Value:
     tables; rule-constant terms are already :class:`Value`."""
     if isinstance(v, Value):
         return v
-    return Value(int(v.t), int(v.i or 0), float(v.d or 0.0), v.s or "")
+    # explicit None checks: ``v.d or 0.0`` would coerce IEEE -0.0 (falsy)
+    # to +0.0, which prints as "0.0" instead of "-0.0"
+    return Value(
+        int(v.t),
+        0 if v.i is None else int(v.i),
+        0.0 if v.d is None else float(v.d),
+        v.s or "",
+    )
 
 
 def _display(v: Value) -> str:
@@ -338,7 +349,10 @@ class NemoEngine:
         t0 = time.time()
         try:
             self._runner.run()
-        except ValueError as err:
+        except Exception as err:
+            # lib.rs:42-44 py_res: EVERY engine error surfaces as NemoError —
+            # including import failures, which on this backend arrive as
+            # pyspark AnalysisException / Py4JJavaError rather than ValueError
             raise NemoError(str(err)) from err
         self._wall_ms = (time.time() - t0) * 1000.0
         self._reasoned = True
@@ -384,9 +398,7 @@ class NemoEngine:
             if nullary:
                 rows.append(())
                 continue
-            rows.append(
-                tuple(Value(int(c.t), int(c.i or 0), float(c.d or 0.0), c.s or "") for c in row)
-            )
+            rows.append(tuple(_as_value(c) for c in row))
         rows.sort(key=lambda r: tuple(v.order_key() for v in r))
         return rows
 
@@ -398,59 +410,54 @@ class NemoEngine:
     def write_result(self, predicate: str, output_manager: NemoOutputManager) -> None:
         """Write one predicate through its @export handler into the output
         manager's directory as a single file (lib.rs:464-501: unknown
-        predicate or missing export handler is a silent no-op)."""
+        predicate or missing export handler is a silent no-op; like the
+        reference's ``.find``, only the FIRST matching export declaration
+        is written). Serialization (limit/delimiter/compression) is shared
+        with ``write_exports`` via ``RlsRunner.serialize_export``."""
         resolved = self._resolve(predicate)
-        frames = {
-            name: (df, exp)
-            for name, (df, exp) in self._runner.export_frames().items()
-            if exp.pred == resolved
-        }
-        if not frames:
+        match = next(
+            (
+                (name, df, exp)
+                for name, (df, exp) in self._runner.export_frames().items()
+                if exp.pred == resolved
+            ),
+            None,
+        )
+        if match is None:
             return
+        name, df, exp = match
         os.makedirs(output_manager._path, exist_ok=True)
-        from nemo_spark.parser.runner import _DELIM, _RDF_FMTS, _interpreted_expressions
+        from nemo_spark.parser.runner import _interpreted_expressions
 
-        for name, (df, exp) in frames.items():
-            if output_manager._gzip and not name.endswith(".gz"):
-                name = name + ".gz"
-            target = os.path.join(output_manager._path, name)
-            if os.path.exists(target) and not output_manager._overwrite:
-                raise NemoError(f"export target exists: {target}")
-            tmp = tempfile.mkdtemp(prefix="nmo_export_")
-            try:
-                with _interpreted_expressions(self._runner.spark):
-                    if exp.fmt in _RDF_FMTS:
-                        from nemo_spark.sources.rdf_typed import serialize_rdf_typed
-
-                        fmt = exp.fmt
-                        if fmt == "rdf":
-                            fmt = "nquads" if len(df.columns) == 4 else "ntriples"
-                        w = serialize_rdf_typed(df, fmt).write.mode("overwrite")
-                        if output_manager._gzip:
-                            w = w.option("compression", "gzip")
-                        w.text(tmp)
-                    else:
-                        sep = _DELIM.get(exp.fmt) or (
-                            self._runner._option_value(exp, "delimiter").lexical()
-                            if "delimiter" in exp.options
-                            else ","
-                        )
-                        ser = self._runner.serialized(exp.pred)
-                        w = ser.write.mode("overwrite").option("sep", sep).option("escape", '"')
-                        if output_manager._gzip:
-                            w = w.option("compression", "gzip")
-                        w.csv(tmp)
-                # concatenate the part files into ONE file (concatenated gzip
-                # members form a valid gzip stream, so this covers both modes)
-                parts = sorted(
-                    f for f in os.listdir(tmp) if f.startswith("part-") and not f.endswith(".crc")
-                )
-                with open(target, "wb") as out:
-                    for p in parts:
-                        with open(os.path.join(tmp, p), "rb") as src:
-                            shutil.copyfileobj(src, out)
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
+        if output_manager._gzip and not name.endswith(".gz"):
+            name = name + ".gz"
+        target = os.path.join(output_manager._path, name)
+        if os.path.exists(target) and not output_manager._overwrite:
+            raise NemoError(f"export target exists: {target}")
+        tmp = tempfile.mkdtemp(prefix="nmo_export_")
+        try:
+            with _interpreted_expressions(self._runner.spark):
+                ser, kind, opts = self._runner.serialize_export(df, exp)
+                if output_manager._gzip:
+                    opts["compression"] = "gzip"
+                w = ser.write.mode("overwrite")
+                for k, v in opts.items():
+                    w = w.option(k, v)
+                if kind == "text":
+                    w.text(tmp)
+                else:
+                    w.csv(tmp)
+            # concatenate the part files into ONE file (concatenated gzip
+            # members form a valid gzip stream, so this covers both modes)
+            parts = sorted(
+                f for f in os.listdir(tmp) if f.startswith("part-") and not f.endswith(".crc")
+            )
+            with open(target, "wb") as out:
+                for p in parts:
+                    with open(os.path.join(tmp, p), "rb") as src:
+                        shutil.copyfileobj(src, out)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # ----------------------------------------------------------------- trace
 
@@ -499,33 +506,16 @@ class NemoEngine:
         rast = self._label_ast_rule(label)
         if rast is None or key not in rast.attrs:
             return None
-        from nemo_spark.parser.compile import GroundEval
-        from nemo_spark.parser.rls import TVar
+        from nemo_spark.parser.runner import _ResolverView
 
         env = {
             k[1:]: v for k, v in (assignment or {}).items()
         }  # strip the '?' prefix
-
-        view_ge = GroundEval(
-            __import__("nemo_spark.parser.runner", fromlist=["_ResolverView"])._ResolverView(
-                self._runner.compiled
-            ),
-            self._runner.compiled.params,
+        ev = _env_eval_cls()(
+            _ResolverView(self._runner.compiled), self._runner.compiled.params, env
         )
-
-        class _EnvEval(GroundEval):
-            def __init__(self) -> None:
-                super().__init__(view_ge.resolver, view_ge.params)
-
-            def eval(self, n):
-                if isinstance(n, TVar):
-                    if n.name not in env:
-                        raise ValueError(f"unbound ?{n.name}")
-                    return env[n.name]
-                return super().eval(n)
-
         try:
-            return _EnvEval().eval(rast.attrs[key]).lexical()
+            return ev.eval(rast.attrs[key]).lexical()
         except Exception:
             return None
 
@@ -540,11 +530,14 @@ class NemoEngine:
         if self._reasoned:
             for label, stats in self._runner.report()["rules"].items():
                 # compiled sub-rule labels carry the source index embedded
-                # (``r3h0``, ``__agg_r3``) — fold them into Rule 3
-                m = re.search(r"r(\d+)", label)
-                if m:
-                    idx = int(m.group(1))
-                    per_rule[idx] = per_rule.get(idx, 0.0) + stats["wall_ms"]
+                # (``r3h0``, ``__agg_r3``) — fold them into Rule 3. Merged
+                # rounds are recorded under '+'-joined labels (``r1+r2``
+                # when several rules derive one head predicate); that wall
+                # is genuinely joint, so split it evenly across the
+                # constituent rules rather than crediting the first.
+                idxs = [int(m.group(1)) for m in re.finditer(r"r(\d+)", label)]
+                for idx in set(idxs):
+                    per_rule[idx] = per_rule.get(idx, 0.0) + stats["wall_ms"] / len(set(idxs))
         rule_nodes = [
             NemoTiming(f"Rule {i}", per_rule.get(i, 0.0))
             for i in range(len(self._runner.ast.rules))
@@ -552,6 +545,34 @@ class NemoEngine:
         rules = NemoTiming("Rules", sum(n._wall_ms for n in rule_nodes), rule_nodes)
         reasoning = NemoTiming("Reasoning", self._wall_ms, [rules])
         return NemoTiming("root", self._wall_ms, [reasoning])
+
+
+_ENV_EVAL_CLS = None
+
+
+def _env_eval_cls():
+    """GroundEval variant resolving ``?var`` terms from a bound environment
+    (rule-attribute instantiation). Built lazily — importing GroundEval at
+    module top would pull pyspark into every ``import nmo_python``."""
+    global _ENV_EVAL_CLS
+    if _ENV_EVAL_CLS is None:
+        from nemo_spark.parser.compile import GroundEval
+        from nemo_spark.parser.rls import TVar
+
+        class _EnvEval(GroundEval):
+            def __init__(self, resolver, params, env) -> None:
+                super().__init__(resolver, params)
+                self._env = env
+
+            def eval(self, n):
+                if isinstance(n, TVar):
+                    if n.name not in self._env:
+                        raise ValueError(f"unbound ?{n.name}")
+                    return self._env[n.name]
+                return super().eval(n)
+
+        _ENV_EVAL_CLS = _EnvEval
+    return _ENV_EVAL_CLS
 
 
 # ------------------------------------------------------------- rule display

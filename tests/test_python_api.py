@@ -265,3 +265,98 @@ def test_result_unknown_predicate(engine):
     # execution_engine.rs:367 predicate_rows: unknown predicate => Ok(None)
     # => lib.rs:511 flattens to an EMPTY result, not an error
     assert list(engine.result("nosuch")) == []
+
+
+def test_write_result_honors_export_limit(spark, tmp_path):
+    # the @export limit= option must cap the written file, exactly as
+    # write_exports does (shared serialize_export path)
+    prog = load_string(
+        "p(1). p(2). p(3). p(4). p(5).\n@export p :- csv {limit = 2} ."
+    )
+    eng = NemoEngine(prog, spark=spark)
+    eng.reason()
+    eng.write_result("p", NemoOutputManager(str(tmp_path)))
+    with open(tmp_path / "p.csv") as f:
+        assert len(list(csv.reader(f))) == 2
+
+
+def test_write_result_honors_export_compression(spark, tmp_path):
+    # compression="gzip" on the export itself gzips the stream even when the
+    # output manager's gzip flag is off — a .csv.gz that gunzips correctly
+    import gzip
+
+    prog = load_string(
+        'p(1). p(2).\n@export p :- csv {resource = "out.csv.gz", compression = "gzip"} .'
+    )
+    eng = NemoEngine(prog, spark=spark)
+    eng.reason()
+    eng.write_result("p", NemoOutputManager(str(tmp_path)))
+    with gzip.open(tmp_path / "out.csv.gz", "rt") as f:
+        assert sorted(r[0] for r in csv.reader(f)) == ["1", "2"]
+
+
+def test_write_result_first_matching_export_only(spark, tmp_path):
+    # lib.rs write_result uses .find(): with two @export declarations for
+    # one predicate, only the FIRST is written
+    prog = load_string(
+        'p(1).\n@export p :- csv {resource = "a.csv"} .\n'
+        '@export p :- csv {resource = "b.csv"} .'
+    )
+    eng = NemoEngine(prog, spark=spark)
+    eng.reason()
+    eng.write_result("p", NemoOutputManager(str(tmp_path)))
+    assert sorted(os.listdir(str(tmp_path))) == ["a.csv"]
+
+
+def test_default_outputs_hide_compiled_intermediates():
+    # nested-aggregate rules split into __agg_rN intermediates at compile
+    # time; SetDefaultOutputs works on the SOURCE model, so they must not
+    # leak into output_predicates()
+    prog = load_string("p(1, 2). q(?x, 2 * #sum(?y)) :- p(?x, ?y).")
+    assert prog.output_predicates() == ["q"]
+
+
+def test_reason_wraps_engine_errors(spark, tmp_path):
+    # lib.rs py_res: every engine error (including import failures, which
+    # arrive as pyspark AnalysisException here) surfaces as NemoError
+    prog = load_string('@import p :- csv {resource = "no_such_file.csv"} .\nq(?x) :- p(?x).')
+    prog._workdir = str(tmp_path)
+    eng = NemoEngine(prog, spark=spark)
+    with pytest.raises(NemoError):
+        eng.reason()
+
+
+def test_negative_zero_conversion():
+    # ``d or 0.0`` would fold -0.0 (falsy) into +0.0 during struct->Value
+    # reconstruction. Note the ENGINE's stored representative for a -0.0
+    # fact is +0.0 anyway: IEEE equality makes -0.0/+0.0 ONE fact under set
+    # semantics and Catalyst's NormalizeFloatingNumbers picks +0.0 at the
+    # dedup boundary — but trace premises and computed values travel
+    # driver-side through _as_value and must keep their sign.
+    import math
+
+    from nemo_spark.python_api import _as_value
+
+    class Cell:
+        t, i, d, s = 52, 0, -0.0, ""
+
+    v = _as_value(Cell())
+    assert math.copysign(1.0, v.d) == -1.0
+
+
+def test_timing_splits_merged_rule_labels(spark):
+    # rounds >= 1 on the distributed path record several rules deriving one
+    # head under a '+'-joined label (seminaive merged application); the wall
+    # is joint, so it is split evenly instead of all crediting the first rule
+    prog = load_string("e(1,2). p(?x,?y) :- e(?x,?y). p(?x,?y) :- p(?y,?x).")
+    eng = NemoEngine(prog, spark=spark)
+    eng.reason()
+    eng._runner.report = lambda: {
+        "rules": {"r0+r1": {"wall_ms": 8.0}},
+        "total_wall_ms": 8.0,
+        "rounds": 2,
+        "derived_total": 3,
+    }
+    timing = eng.timing()
+    assert timing.subnode("Reasoning/Rules/Rule 0").system_time.total_seconds() == pytest.approx(0.004)
+    assert timing.subnode("Reasoning/Rules/Rule 1").system_time.total_seconds() == pytest.approx(0.004)
