@@ -17,6 +17,17 @@ from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
 
+# DuckDB fragments matching nemo_spark.ops.text tokenization exactly (both
+# engines' regexes are RE2) — single-sourced so Spark and oracle can't drift
+from nemo_spark.ops.text import EN_STOPWORDS as _EN_STOPWORDS
+from nemo_spark.ops.text import normalized_sql as _normalized_sql
+from nemo_spark.ops.text import token_key_sql as _token_key_sql
+from nemo_spark.ops.text import tokens_sql as _tokens_sql
+
+_TOKS = _tokens_sql("text")
+_TOKKEY = _token_key_sql("x")
+_STOPS = "(" + ",".join(f"'{w}'" for w in _EN_STOPWORDS) + ")"
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -974,32 +985,36 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": KG.KG_TRIPLES,
         "kg_closure": KG.KG_CLOSURE,
         "kg_materialized": KG.KG_MATERIALIZED,
-        "text_tokens": """
-            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
-            FROM documents
+        "text_tokens": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+            FROM t
         """,
-        "text_quality": """
+        "text_quality": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id, text, len(toks) AS n_tok,
+                         len(list_filter(toks, x -> {_TOKKEY} IN {_STOPS})) AS n_stop
+                  FROM t)
             SELECT doc_id,
                    CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
                    CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS BIGINT) AS n_dots,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                   CAST(len(list_filter(string_split(text, ' '),
-                        x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS n_stopwords,
-                   CASE WHEN len(string_split(text, ' ')) > 0
-                        THEN CAST(len(list_filter(string_split(text, ' '),
-                             x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-                             / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   CAST(n_tok AS BIGINT) AS n_tokens,
+                   CAST(n_stop AS BIGINT) AS n_stopwords,
+                   CASE WHEN n_tok > 0
+                        THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)
                         ELSE 0.0 END AS stopword_ratio
-            FROM documents
+            FROM s
         """,
-        "text_langid": """
-            WITH s AS (
+        "text_langid": f"""
+            WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+            s AS (
               SELECT doc_id, lang,
-                     CAST(len(list_filter(string_split(text, ' '),
-                          x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE) AS en_score
-              FROM documents
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(len(list_filter(toks, x -> {_TOKKEY} IN {_STOPS})) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END AS en_score
+              FROM t
             )
             SELECT doc_id, lang, en_score,
                    CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
@@ -1066,8 +1081,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_link_scored": _kg_link_scored_sql(),
         "knn_bucketed": _knn_bucketed_sql(),
-        "text_fingerprint": """
-            SELECT doc_id, md5(array_to_string(string_split(text, ' '), ' ')) AS fp_md5
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({_normalized_sql("text")}) AS fp_md5
             FROM documents
         """,
         "embedding_near_dups": _near_dups_sql(threshold=0.35, dim=64),
@@ -1200,8 +1215,8 @@ SELECT mention, entity_id, ROUND(score, 6) AS score FROM best WHERE rn = 1
 
 
 
-_MINHASH_CTES = """
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+_MINHASH_CTES = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(t) >= 3 THEN

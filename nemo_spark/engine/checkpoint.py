@@ -73,16 +73,21 @@ class CheckpointStore:
             json.dump(meta, f)
         return out
 
-    def latest_step(self, name: str) -> int | None:
+    def steps(self, name: str) -> list[int]:
+        """All COMPLETE snapshot steps of ``name``, ascending (steps need
+        not be dense — streaming batch ids can skip)."""
         base = os.path.join(self.root, _safe_name(name))
         if not os.path.isdir(base):
-            return None
-        steps = [
+            return []
+        return sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(base)
             if d.startswith("step=") and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-        ]
-        return max(steps) if steps else None
+        )
+
+    def latest_step(self, name: str) -> int | None:
+        steps = self.steps(name)
+        return steps[-1] if steps else None
 
     def load(self, name: str, step: int | None = None) -> DataFrame | None:
         """Resume: read a snapshot (latest complete one by default)."""

@@ -181,6 +181,8 @@ class SemiNaiveEngine:
         # base (EDB) facts per predicate: registered tables + inline program
         # facts + extend() injections — what a non-monotone reset restores
         self._base_tables: dict[str, DataFrame] = {}
+        # per-predicate union-depth since the last base compaction (extend)
+        self._base_depth: dict[str, int] = {}
         self._deferred: dict[str, Any] = {}  # pred -> loader (register_deferred)
         # exact row counts per table, maintained at merge time: checkpointed
         # plans lose Catalyst statistics, so without explicit hints every
@@ -487,12 +489,24 @@ class SemiNaiveEngine:
         deltas: dict[str, DataFrame] = {}
         counts: dict[str, int] = {}
         for pred, df in new_facts.items():
-            df = df.toDF(*_cols(self._arity[pred])).dropDuplicates()
+            # eager checkpoint: (a) truncates the batch's lineage so repeated
+            # extend() calls (one per streaming micro-batch) don't grow
+            # _base_tables' plan with live references to expired foreachBatch
+            # frames — the non-monotone reset would otherwise re-read sources
+            # that may be past retention; (b) bounds per-batch analysis cost
+            df = df.toDF(*_cols(self._arity[pred])).dropDuplicates().localCheckpoint(eager=True)
             self._base_tables[pred] = (
                 self._base_tables[pred].unionByName(df).dropDuplicates()
                 if pred in self._base_tables
                 else df
             )
+            # compact the accumulated base every few batches: the union tree
+            # of checkpointed batches still deepens linearly with batch count
+            depth = self._base_depth.get(pred, 0) + 1
+            if depth >= 16:
+                self._base_tables[pred] = self._base_tables[pred].localCheckpoint(eager=True)
+                depth = 0
+            self._base_depth[pred] = depth
             fresh, cnt = self._merge(pred, df)
             if cnt:
                 deltas[pred] = fresh

@@ -57,6 +57,21 @@ def connected_components(
     O(diameter) shuffles. ``'hashmin'`` stays available (fewer per-round
     jobs; fine when the diameter is known-small).
     """
+    # NULL-endpoint normalization, identical for every path: an edge with
+    # one NULL endpoint registers its non-null node as an isolated self-edge
+    # (SQL join semantics — NULL connects nothing), a both-NULL edge drops.
+    # Without this the distributed path emitted a bogus (NULL, label) row
+    # while the single-task path composed through None keys. Gated behind a
+    # cheap short-circuit probe so null-free inputs (the common case) don't
+    # carry the extra union in every fixpoint round's plan.
+    both = F.col(src).isNotNull() & F.col(dst).isNotNull()
+    if not edges.where(~both).limit(1).isEmpty():
+        half = (
+            edges.where(~both & (F.col(src).isNotNull() | F.col(dst).isNotNull()))
+            .select(F.coalesce(F.col(src), F.col(dst)).alias(src))
+            .select(F.col(src), F.col(src).alias(dst))
+        )
+        edges = edges.where(both).select(F.col(src), F.col(dst)).unionByName(half)
     if (
         small_graph_threshold
         # the single-task path unions both endpoint columns into one node
@@ -224,10 +239,10 @@ def _small_graph_cc(edges: DataFrame, src: str, dst: str) -> DataFrame:
                 x = parent[x]
             return x
 
-        rows = []
         for part in parts:
-            for r in part.itertuples(index=False):
-                a, b = getattr(r, src), getattr(r, dst)
+            # positional access: src/dst may not be valid Python
+            # identifiers (itertuples would rename them)
+            for a, b in zip(part.iloc[:, 0], part.iloc[:, 1]):
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     if rb < ra:
@@ -236,11 +251,13 @@ def _small_graph_cc(edges: DataFrame, src: str, dst: str) -> DataFrame:
         import pandas as pd
 
         nodes = list(parent)
-        rows = pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
-        yield rows
+        yield pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
 
-    typ = edges.schema[src].dataType.simpleString()
-    return edges.coalesce(1).mapInPandas(uf, schema=f"node {typ}, component {typ}")
+    from pyspark.sql.types import StructField, StructType
+
+    dt = edges.schema[src].dataType
+    schema = StructType([StructField("node", dt), StructField("component", dt)])
+    return edges.select(F.col(src), F.col(dst)).coalesce(1).mapInPandas(uf, schema=schema)
 
 
 def canonical_map_from_alias_dict(alias_dict: DataFrame, small_graph_threshold: int = 100_000) -> DataFrame:

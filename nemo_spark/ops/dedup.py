@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nemo_spark.ops.text import tokens
+from nemo_spark.ops.text import tokens, tokens_sql
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -243,7 +243,7 @@ def simhash_hex_oracle_sql(table: str = "documents", id_col: str = "doc_id", tex
         weights = " + ".join(f"(CASE WHEN v{j}_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(4))
         nibbles.append(f"substr('0123456789abcdef', ({weights}) + 1, 1)")
     return f"""
-WITH toksd AS (SELECT {id_col}, list_distinct(string_split({text_col}, ' ')) AS t FROM {table}),
+WITH toksd AS (SELECT {id_col}, list_distinct({tokens_sql(text_col)}) AS t FROM {table}),
 hs AS (SELECT {id_col}, list_transform(t, x -> md5(x)) AS h FROM toksd),
 votes AS (SELECT {id_col}, {", ".join(votes)} FROM hs)
 SELECT {id_col}, {" || ".join(nibbles)} AS simhash FROM votes

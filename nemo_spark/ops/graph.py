@@ -32,6 +32,7 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     broadcast_threshold: int = 2_000_000,
+    broadcast_max_bytes: int = 64 << 20,
     max_rounds: int = 64,
     small_graph_threshold: int = 10_000,
 ) -> DataFrame:
@@ -63,10 +64,30 @@ def transitive_closure(
     delta = tc
     delta_cnt = tc.count()
     rounds = 0
+    est_row: float | None = None
     while delta_cnt and rounds < max_rounds:
         rounds += 1
         t0 = time.time()
-        d = F.broadcast(delta) if delta_cnt <= broadcast_threshold else delta
+        d = delta
+        if delta_cnt <= broadcast_threshold:
+            # the row gate alone would let wide string keys (KG IRIs run
+            # 100+ bytes) force multi-hundred-MB broadcasts — an explicit
+            # F.broadcast bypasses autoBroadcastJoinThreshold entirely, so
+            # estimate bytes from one sample of the (checkpointed) input
+            # (key width is stable across rounds; don't re-sample each one)
+            if est_row is None:
+                sample = tc.limit(256).collect()
+                est_row = (
+                    sum(
+                        sum(len(str(v)) if v is not None else 4 for v in r) + 16
+                        for r in sample
+                    )
+                    / len(sample)
+                    if sample
+                    else 0.0
+                )
+            if delta_cnt * est_row <= broadcast_max_bytes:
+                d = F.broadcast(delta)
         left = d.alias("l").join(tc.alias("r"), F.col("l.b") == F.col("r.a")).select(
             F.col("l.a").alias("a"), F.col("r.b").alias("b")
         )
@@ -90,16 +111,25 @@ def transitive_closure(
 
 
 def _small_graph_tc(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Single-task closure for broadcast-scale graphs (BFS per source)."""
+    """Single-task closure for broadcast-scale graphs (BFS per source).
+
+    NULL endpoints are split off BEFORE the Python task so pandas never sees
+    a null-bearing int column (Arrow would widen it to float64, corrupting
+    the output dtype). The null algebra then mirrors the distributed path's
+    SQL join semantics exactly: a NULL endpoint is carried OUTWARD through
+    compositions whose shared key is non-null — (NULL,y)∘(y,z) = (NULL,z),
+    (w,x)∘(x,NULL) = (w,NULL), and (NULL,y)…(x,NULL) = (NULL,NULL) — but a
+    path never continues THROUGH a NULL (the join key never matches)."""
 
     def close(parts):
         import pandas as pd
-        from collections import defaultdict
 
-        adj = defaultdict(set)
+        adj: dict = {}
         for part in parts:
-            for r in part.itertuples(index=False):
-                adj[getattr(r, src)].add(getattr(r, dst))
+            # positional access: src/dst may not be valid Python
+            # identifiers (itertuples would rename them)
+            for a, b in zip(part.iloc[:, 0], part.iloc[:, 1]):
+                adj.setdefault(a, set()).add(b)
         out_a, out_b = [], []
         for s in adj:
             seen: set = set()
@@ -112,7 +142,41 @@ def _small_graph_tc(edges: DataFrame, src: str, dst: str) -> DataFrame:
                 stack.extend(adj.get(x, ()))
             out_a.extend([s] * len(seen))
             out_b.extend(seen)
-        yield pd.DataFrame({src: out_a, dst: out_b})
+        yield pd.DataFrame({"a": out_a, "b": out_b})
 
-    typ = edges.schema[src].dataType.simpleString()
-    return edges.coalesce(1).mapInPandas(close, schema=f"{src} {typ}, {dst} {typ}")
+    from pyspark.sql.types import StructField, StructType
+
+    dt = edges.schema[src].dataType
+    schema = StructType([StructField("a", dt), StructField("b", dt)])
+    two = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    a_n, b_n = F.col("a").isNotNull(), F.col("b").isNotNull()
+    # common case: no NULL endpoints — one cheap short-circuit probe beats
+    # carrying the 3-join null algebra in every small closure's plan
+    if two.where(~a_n | ~b_n).limit(1).isEmpty():
+        return two.coalesce(1).mapInPandas(close, schema=schema).select(
+            F.col("a").alias(src), F.col("b").alias(dst)
+        )
+    closed = two.where(a_n & b_n).coalesce(1).mapInPandas(close, schema=schema)
+    s_null = two.where(~a_n & b_n).dropDuplicates()  # (NULL, y)
+    d_null = two.where(a_n & ~b_n).dropDuplicates()  # (x, NULL)
+    s_ext = s_null.unionByName(
+        s_null.alias("s")
+        .join(closed.alias("c"), F.col("s.b") == F.col("c.a"))
+        .select(F.col("s.a").alias("a"), F.col("c.b").alias("b"))
+    )
+    d_ext = d_null.unionByName(
+        closed.alias("c")
+        .join(d_null.alias("d"), F.col("c.b") == F.col("d.a"))
+        .select(F.col("c.a").alias("a"), F.col("d.b").alias("b"))
+    )
+    # (NULL, NULL): a null-source reach meeting a null-sink edge (s_ext
+    # already contains every (NULL, w) with w reachable, so one join covers
+    # both the direct and the path case), plus literal (NULL, NULL) edges
+    sd = (
+        s_ext.alias("s")
+        .join(d_null.alias("d"), F.col("s.b") == F.col("d.a"))
+        .select(F.col("s.a").alias("a"), F.col("d.b").alias("b"))
+    )
+    both_null = two.where(~a_n & ~b_n)
+    nulls = s_ext.unionByName(d_ext).unionByName(sd).unionByName(both_null).dropDuplicates()
+    return closed.unionByName(nulls).select(F.col("a").alias(src), F.col("b").alias(dst))

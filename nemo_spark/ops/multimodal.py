@@ -84,7 +84,10 @@ def extract_features(assets: DataFrame, frame_stride_ms: int = 1000) -> DataFram
             feats, n_frames, oks = [], [], []
             for payload, modality, dur in zip(pdf["payload"], pdf["modality"], pdf["duration_ms"]):
                 dec = DECODERS.get(modality)
-                if dec is None:
+                # a NULL payload (corrupt upstream asset) degrades to
+                # ok=False like an unknown modality — one bad asset in a
+                # 100-TB table must not abort the whole stage
+                if dec is None or payload is None:
                     feats.append(None)
                     n_frames.append(0)
                     oks.append(False)
@@ -117,9 +120,11 @@ def resize_metadata(assets: DataFrame, max_side: int = 512) -> DataFrame:
     """Resize plan (Catalyst-only): target dims preserving aspect ratio.
     The byte-level resample belongs in the decoder UDF; the plan column lets
     Catalyst prune assets already small enough before any decode happens."""
-    scale = F.least(
-        F.lit(1.0),
-        F.lit(float(max_side)) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    side = F.greatest(F.col("width"), F.col("height")).cast("double")
+    # zero/NULL-dimension assets get scale 1.0 (no resize plan) — a bare
+    # division would throw DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    scale = F.when(side > 0, F.least(F.lit(1.0), F.lit(float(max_side)) / side)).otherwise(
+        F.lit(1.0)
     )
     return assets.withColumn("target_w", (F.col("width") * scale).cast("int")).withColumn(
         "target_h", (F.col("height") * scale).cast("int")

@@ -528,3 +528,87 @@ def test_dedup_clusters_transitive(spark):
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, threshold=0.5).collect()}
     assert got[10] == got[11] == got[12] == 10
     assert got[13] == 13
+
+
+def test_tc_null_endpoints_both_paths_agree(spark):
+    """SQL join semantics on BOTH closure paths: a NULL endpoint never
+    composes (the edge itself stays in the closure). The single-task path
+    previously composed through Python None == None."""
+    from nemo_spark.ops.graph import transitive_closure
+
+    edges = spark.createDataFrame(
+        [("a", None), (None, "b"), ("b", "c"), ("c", None)], "src string, dst string"
+    )
+    # NULLs carry outward ((NULL,b)∘(b,c) = (NULL,c); (b,c)∘(c,NULL) =
+    # (b,NULL); (NULL,b)…(c,NULL) = (NULL,NULL)) but never join THROUGH:
+    # 'a' does not reach 'b'
+    want = {
+        ("a", None), (None, "b"), ("b", "c"), ("c", None),
+        (None, "c"), ("b", None), (None, None),
+    }
+    small = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    dist = {(r.src, r.dst) for r in transitive_closure(edges, small_graph_threshold=0).collect()}
+    assert small == want and dist == want
+
+
+def test_tc_cc_keyword_column_names(spark):
+    """src/dst names that are not Python identifiers ('from' is a keyword —
+    itertuples would rename it) work on the single-task paths."""
+    from nemo_spark.kg.canonicalize import connected_components
+    from nemo_spark.ops.graph import transitive_closure
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["from", "to"])
+    tc = {(r["from"], r["to"]) for r in transitive_closure(edges, src="from", dst="to").collect()}
+    assert tc == {(1, 2), (2, 3), (1, 3)}
+    cc = {(r.node, r.component) for r in connected_components(edges, src="from", dst="to").collect()}
+    assert cc == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_cc_null_endpoints_normalized(spark):
+    """A half-NULL edge registers its non-null node as isolated; a full-NULL
+    edge drops; no bogus NULL node row on either path."""
+    from nemo_spark.kg.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, None), (None, None)], "src int, dst int"
+    )
+    for threshold in (100_000, 0):
+        got = {
+            (r.node, r.component)
+            for r in connected_components(edges, small_graph_threshold=threshold).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 3)}, threshold
+
+
+def test_tokens_whitespace_runs(spark):
+    """Tokenization collapses any whitespace (newlines, tabs, runs); empty
+    text yields zero tokens; langid no longer misclassifies newline-wrapped
+    English; edge punctuation and case don't hide stopwords."""
+    from nemo_spark.ops.text import langid_heuristic, token_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the\ncat\nis\non\nthe\nmat"),
+            (2, "The cat, the mat."),
+            (3, "a  b\tc "),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    toks = {r.doc_id: r.n_tokens for r in token_counts(docs).collect()}
+    assert toks == {1: 6, 2: 4, 3: 3, 4: 0}
+    lang = {r.doc_id: r.pred_lang for r in langid_heuristic(docs).collect()}
+    assert lang[1] == "en" and lang[2] == "en"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    """Whitespace-variant duplicates share a fingerprint (the normalization
+    the docstring promises — previously an identity transform)."""
+    from nemo_spark.ops.text import fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b\tc"), (3, " a b c "), (4, "a b d")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp_md5 for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[3] != fp[4]

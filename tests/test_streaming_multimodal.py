@@ -99,3 +99,67 @@ def test_extract_features_null_duration(spark):
     rows = {r.asset_id: r for r in extract_features(assets).collect()}
     assert rows[1].ok and rows[1].n_frames == 1
     assert rows[2].ok and rows[2].n_frames == 1
+
+
+def test_extract_features_null_payload(spark):
+    """A NULL payload (corrupt upstream asset) degrades to ok=False — one
+    bad asset must not abort the whole mapInPandas stage."""
+    assets = spark.createDataFrame(
+        [(1, "image", 100, None), (2, "image", 100, bytearray(b"\x02"))],
+        "asset_id long, modality string, duration_ms long, payload binary",
+    )
+    rows = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert rows[1].ok is False and rows[1].feat is None
+    assert rows[2].ok is True
+
+
+def test_resize_plan_zero_dimensions(spark):
+    """width=height=0 (or NULL) must not raise DIVIDE_BY_ZERO under Spark
+    4's default ANSI mode; such assets get scale 1.0 / no resize."""
+    assets = spark.createDataFrame(
+        [(1, 0, 0), (2, None, None), (3, 1024, 512)],
+        "asset_id long, width int, height int",
+    )
+    rows = {r.asset_id: r for r in resize_metadata(assets, max_side=256).collect()}
+    assert rows[1].needs_resize is False and rows[1].target_w == 0
+    assert rows[2].needs_resize is False
+    assert rows[3].needs_resize is True and rows[3].target_w == 256
+
+
+def test_streaming_restart_resumes_from_store(spark, tmp_path):
+    """Restart protocol: Structured Streaming's checkpoint skips committed
+    batches, so without the delta store a fresh engine would silently lose
+    them; restore_streamed_facts re-injects the persisted batch deltas."""
+    from nemo_spark.engine.checkpoint import CheckpointStore
+    from nemo_spark.streaming.incremental import restore_streamed_facts
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame([(1, 2), (2, 3)], "a long, b long").write.parquet(str(src / "f1"))
+    store = CheckpointStore(str(tmp_path / "store"), spark)
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("a long, b long").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+
+    eng = SemiNaiveEngine(spark)
+    eng.register("edge", spark.createDataFrame([], "a long, b long"))
+    eng.run(TC_PROG)
+    q = stream_facts_into(eng, TC_PROG, stream, "edge", checkpoint_location=ckpt, store=store)
+    q.awaitTermination(120)
+    assert {(r.c0, r.c1) for r in eng.table("tc").collect()} == _tc({(1, 2), (2, 3)})
+
+    # "restart": a brand-new engine + a late file; the committed first batch
+    # is NOT redelivered (same checkpoint), so it must come from the store
+    spark.createDataFrame([(3, 4)], "a long, b long").write.parquet(str(src / "f2"))
+    eng2 = SemiNaiveEngine(spark)
+    eng2.register("edge", spark.createDataFrame([], "a long, b long"))
+    eng2.run(TC_PROG)
+    assert restore_streamed_facts(eng2, TC_PROG, store, "edge") >= 1
+    stream2 = spark.readStream.schema("a long, b long").option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q2 = stream_facts_into(eng2, TC_PROG, stream2, "edge", checkpoint_location=ckpt, store=store)
+    q2.awaitTermination(120)
+    got = {(r.c0, r.c1) for r in eng2.table("tc").collect()}
+    assert got == _tc({(1, 2), (2, 3), (3, 4)})
