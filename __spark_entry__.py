@@ -422,7 +422,11 @@ def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     # BroadcastNestedLoopJoin); the oracle replicates the exact same planes
     from nemo_spark.ops.similarity import embedding_near_dups
 
-    nd = embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.35, dim=64)
+    # (8, 4) pinned to match the oracle's literals — sized for the fixture;
+    # the function's own defaults are the scale-sane (16, 8)
+    nd = embedding_near_dups(
+        _t(spark, sf, "embeddings"), threshold=0.35, dim=64, n_bands=8, band_planes=4
+    )
     return nd.select("a", "b", F.round("score", 6).alias("score"))
 
 
@@ -1103,7 +1107,10 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT vec_id, entity_id, score,
                          row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, entity_id) AS rn
                   FROM sc)
-            SELECT vec_id, entity_id, ROUND(score, 6) AS score FROM r WHERE rn = 1
+            -- score >= 0 mirrors link_embedding's default min_score=0.0:
+            -- a mention anti-correlated with the whole catalogue drops
+            SELECT vec_id, entity_id, ROUND(score, 6) AS score
+            FROM r WHERE rn = 1 AND score >= 0.0
         """,
         "knn_cosine": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

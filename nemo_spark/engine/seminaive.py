@@ -460,10 +460,11 @@ class SemiNaiveEngine:
                 else df
             )
 
-        for si, s in enumerate(stratify(program)):
+        strata = stratify(program)
+        for si, s in enumerate(strata):
             for ri, r in enumerate(s):
                 self._rules_by_label.setdefault(_rule_label(r, si, ri), r)
-        for stratum_idx, rules in enumerate(stratify(program)):
+        for stratum_idx, rules in enumerate(strata):
             self._run_stratum(stratum_idx, rules)
         return self.stats
 

@@ -115,23 +115,37 @@ def link_embedding(
     import numpy as np
 
     spark = mentions.sparkSession
+    id_type = mentions.schema[id_col].dataType.simpleString()
+    ent_id_type = entity_vecs.schema[entity_id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {entity_id_col} {ent_id_type}, score double"
     ent_pdf = (
         entity_vecs.select(entity_id_col, entity_vec_col)
         .orderBy(entity_id_col)  # ascending ids => argmax's first-max IS the min-id tie-break
         .toPandas()
     )
+    if ent_pdf.empty:
+        # empty dictionary links nothing — an empty frame, not an np.stack
+        # crash with no hint the catalogue was the problem
+        return spark.createDataFrame([], out_schema)
     ent_ids = ent_pdf[entity_id_col].to_numpy()
     emat = np.stack(ent_pdf[entity_vec_col].map(lambda v: np.asarray(v, dtype="float64")).to_numpy())
     enorm = np.linalg.norm(emat, axis=1, keepdims=True)
     eunit = np.divide(emat, enorm, out=np.zeros_like(emat), where=enorm > 0)
-    bc = spark.sparkContext.broadcast((ent_ids, eunit))
+    bc = _broadcast_cached(spark, ent_ids, eunit)
+    dim = eunit.shape[1]
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, ents = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype="float64")).to_numpy())
+            # NULL mention vector => zero vector => scores 0.0 everywhere
+            # (the documented zero-vector convention), not a TypeError
+            m = np.stack(
+                pdf[vec_col]
+                .map(lambda v: np.zeros(dim) if v is None else np.asarray(v, dtype="float64"))
+                .to_numpy()
+            )
             mnorm = np.linalg.norm(m, axis=1, keepdims=True)
             munit = np.divide(m, mnorm, out=np.zeros_like(m), where=mnorm > 0)
             s = munit @ ents.T  # (batch, entities) cosine matrix
@@ -147,11 +161,30 @@ def link_embedding(
                 r, c = np.nonzero(s >= min_score)
                 yield pd.DataFrame({id_col: mids[r], entity_id_col: ids[c], "score": s[r, c]})
 
-    id_type = mentions.schema[id_col].dataType.simpleString()
-    ent_id_type = entity_vecs.schema[entity_id_col].dataType.simpleString()
-    return mentions.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{id_col} {id_type}, {entity_id_col} {ent_id_type}, score double"
-    )
+    return mentions.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+
+
+# (digest -> Broadcast) of the two most recent entity matrices: repeated
+# link_embedding calls with the same dictionary (a per-micro-batch loop)
+# reuse ONE broadcast instead of leaking a new generation per call; on a
+# dictionary change the evicted broadcast is destroyed once no job needs it
+_BC_CACHE: "dict[bytes, object]" = {}
+
+
+def _broadcast_cached(spark, ent_ids, eunit):
+    import hashlib
+
+    digest = hashlib.md5(ent_ids.tobytes() + eunit.tobytes()).digest()
+    bc = _BC_CACHE.get(digest)
+    if bc is None:
+        bc = spark.sparkContext.broadcast((ent_ids, eunit))
+        _BC_CACHE[digest] = bc
+        while len(_BC_CACHE) > 2:
+            old_key = next(iter(_BC_CACHE))
+            if old_key == digest:
+                break
+            _BC_CACHE.pop(old_key).unpersist(blocking=False)
+    return bc
 
 
 def best_candidate(scored: DataFrame, key_cols: list[str], score_col: str = "score") -> DataFrame:

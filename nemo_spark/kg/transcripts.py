@@ -55,7 +55,10 @@ def _with_transcript_columns(df: DataFrame, id_col: str, filler_col) -> DataFram
     obj_k = (i * 7 + 3) % N_ENTITIES
     pred = F.element_at(F.array(*[F.lit(p) for p in PREDICATES]), (i % 3 + 1).cast("int"))
     subj_alias = _alias_expr(i % 3, subj_k)
-    obj_alias = _alias_expr((i / 3).cast("long") % 3, obj_k)
+    # exact integer division (SQL 'div', not '/'): float division loses low
+    # bits past 2^53, silently desyncing the variant from the DuckDB
+    # lockstep's doc_id // 3 for large (snowflake-style) ids
+    obj_alias = _alias_expr(F.expr(f"CAST(`{id_col}` AS BIGINT) div 3") % 3, obj_k)
     conv_bucket = F.when(i % HOT_CONV_FRACTION_MOD < 3, F.lit(0)).otherwise(i % N_CONVS)
     role = F.element_at(F.array(*[F.lit(r) for r in ROLES]), (i % 3 + 1).cast("int"))
     return df.select(

@@ -61,11 +61,19 @@ def pandas_cosine_scores(
     qv = np.asarray(query_vec, dtype="float64")
     qn = float(np.linalg.norm(qv))
 
+    dim = len(query_vec)
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype="float64")).to_numpy())
+            # NULL embedding => zero vector => score 0.0, matching the
+            # Catalyst path's when(norm > 0) guard instead of crashing
+            m = np.stack(
+                pdf[vec_col]
+                .map(lambda v: np.zeros(dim) if v is None else np.asarray(v, dtype="float64"))
+                .to_numpy()
+            )
             norms = np.linalg.norm(m, axis=1) * qn
             s = np.divide(m @ qv, norms, out=np.zeros(len(m)), where=norms > 0)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "score": s})
@@ -79,12 +87,22 @@ def pandas_cosine_scores(
 def plane_component(p: int, j: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1].
 
-    Pure integer arithmetic (Knuth multiplicative hash mod a Mersenne prime),
-    computed driver-side and embedded as a literal — so an external oracle
-    (DuckDB) can reproduce the exact same plane, bit-for-bit, with no libm
-    (sin/cos) cross-engine drift."""
-    h = ((p * 1_000_003 + j * 7_919 + 1) * 2_654_435_761) % 2_147_483_647
-    return h / 2_147_483_646.0 * 2.0 - 1.0
+    Pure integer arithmetic (splitmix64 finalizer over the packed (p, j)
+    seed), computed driver-side and embedded as a literal — so an external
+    oracle (DuckDB) can reproduce the exact same plane, bit-for-bit, with no
+    libm (sin/cos) cross-engine drift.
+
+    The finalizer's avalanche matters, not just determinism: an earlier
+    AFFINE hash (h linear in p) made plane p+22 nearly parallel to plane p
+    (measured |cos| up to 0.9993), so "independent" LSH bands shared bits
+    and band-OR recall silently degraded by an order of magnitude."""
+    mask = (1 << 64) - 1
+    x = (((p & 0xFFFFFFFF) << 32) | (j & 0xFFFFFFFF)) & mask
+    x = (x + 0x9E3779B97F4A7C15) & mask
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+    x = x ^ (x >> 31)
+    return (x >> 11) / float((1 << 53) - 1) * 2.0 - 1.0
 
 
 def plane(p: int, dim: int) -> list[float]:
@@ -116,20 +134,28 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     dim: int = 64,
     exact: bool = False,
-    n_bands: int = 8,
-    band_planes: int = 4,
+    n_bands: int = 16,
+    band_planes: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, score) with a < b and
     cosine >= threshold.
 
     DEFAULT (scale path): banded random-hyperplane LSH — ``n_bands`` bands of
     ``band_planes`` sign bits each; a pair is a candidate iff it agrees on all
-    bits of at least one band (band-OR, multi-probe-style recall). Candidates
-    come from an equi-self-join on (band, signature) — never an all-pairs
-    cartesian / BroadcastNestedLoopJoin — then pair-dedup and exact cosine
-    verify. Recall ≈ 1-(1-(1-θ/π)^r)^b; at the defaults > 0.999 for
-    cosine ≥ 0.9. ``dim`` is the vector dimension (a parameter — no driver
-    ``.first()`` probe mid-plan).
+    bits of at least one band (band-OR recall). Candidates come from an
+    equi-self-join on (band, signature) — never an all-pairs cartesian /
+    BroadcastNestedLoopJoin — then pair-dedup and exact cosine verify.
+
+    Sizing (sign-LSH math, planes independent): a true pair at angle θ
+    agrees per plane with prob 1-θ/π, so recall = 1-(1-(1-θ/π)^r)^b; an
+    UNRELATED (near-orthogonal) pair collides per band with prob ~0.5^r,
+    feeding ~b/2^r of all pairs into the exact verify. Defaults r=8, b=16:
+    recall 0.996 at cosine 0.9 and ~6% random-pair candidate rate with
+    16x256 join keys. r=4 halves the work per row but admits ~40% of ALL
+    pairs as candidates (effectively quadratic) — never use r<8 beyond
+    dimension-sized inputs. At >= 1M rows push r to 12-16 and raise b to
+    hold the recall target; join-key cardinality b*2^r must comfortably
+    exceed the shuffle partition count or the verify stage skews.
 
     ``exact=True``: all-pairs quadratic path (only for dimension-sized or
     per-bucket candidate sets — this is the correctness oracle, not the

@@ -79,10 +79,19 @@ def salted_join(
     volume grows by that factor — use for dimension-vs-fact joins where the
     dimension exceeds the broadcast threshold but replication is still
     cheap. ``how`` supports inner / left / left_semi / left_anti (the
-    replicated-right shapes that preserve row identity)."""
+    replicated-right shapes that preserve row identity).
+
+    Caveat: the salt is a CONTENT hash (deterministic => retry-safe), so
+    byte-identical duplicate rows of a hot key all land on one salt and are
+    not spread. Dedupe first, or carry a unique id column — it is hashed
+    automatically and restores the spread."""
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not preserve semantics for how={how!r}")
+    if salt_factor < 1:
+        # salt_factor=0 would explode small to ZERO rows and pmod to NULL —
+        # a silently empty (inner) or all-null-matched (left) join
+        raise ValueError(f"salt_factor must be >= 1, got {salt_factor}")
     b = big.withColumn("__salt", _row_salt(big, salt_factor))
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))

@@ -5,6 +5,7 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
 from pyspark.sql import functions as F
 
 from nemo_spark.kg.link import best_candidate, jaccard, char_ngrams, link_embedding, link_scored
@@ -612,3 +613,79 @@ def test_fingerprint_whitespace_invariant(spark):
     )
     fp = {r.doc_id: r.fp_md5 for r in fingerprint(docs).collect()}
     assert fp[1] == fp[2] == fp[3] != fp[4]
+
+
+def test_plane_components_decorrelated():
+    """LSH hyperplanes must be mutually near-orthogonal: the old affine hash
+    made plane p+22 nearly parallel to plane p (|cos| 0.9993), collapsing
+    band independence."""
+    import math
+
+    from nemo_spark.ops.similarity import plane
+
+    dim = 64
+    planes = [plane(p, dim) for p in range(32)]
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / math.sqrt(sum(a * a for a in u) * sum(b * b for b in v))
+
+    worst = max(
+        abs(cos(planes[i], planes[j])) for i in range(32) for j in range(i + 1, 32)
+    )
+    # random 64-dim directions concentrate around |cos| ~ 1/sqrt(64) = 0.125
+    assert worst < 0.5, worst
+
+
+def test_salted_join_rejects_bad_salt_factor(spark):
+    from nemo_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="salt_factor"):
+        salted_join(big, small, on="k", salt_factor=0)
+
+
+def test_pandas_cosine_scores_null_embedding(spark):
+    """NULL embeddings score 0.0 on the Arrow path, matching Catalyst's
+    when(norm > 0) guard, instead of a TypeError that kills the task."""
+    from nemo_spark.ops.similarity import pandas_cosine_scores
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r.score for r in pandas_cosine_scores(emb, [1.0, 0.0]).collect()}
+    assert got[1] == 1.0 and got[2] == 0.0
+
+
+def test_link_embedding_empty_and_null(spark):
+    """Empty entity dictionary => empty result (not an np.stack crash);
+    NULL mention vector => zero vector => dropped by min_score=0... kept
+    with score 0.0 (best >= 0.0)."""
+    from nemo_spark.kg.link import link_embedding
+
+    mentions = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "mention_id long, vec array<double>"
+    )
+    empty_ents = spark.createDataFrame([], "entity_id long, evec array<double>")
+    assert (
+        link_embedding(
+            mentions, empty_ents, id_col="mention_id", vec_col="vec",
+            entity_id_col="entity_id", entity_vec_col="evec",
+        ).count()
+        == 0
+    )
+    ents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "entity_id long, evec array<double>"
+    )
+    got = {
+        r.mention_id: (r.entity_id, r.score)
+        for r in link_embedding(
+            mentions, ents, id_col="mention_id", vec_col="vec",
+            entity_id_col="entity_id", entity_vec_col="evec",
+        ).collect()
+    }
+    assert got[1] == (10, 1.0)
+    # null vector: cosine 0.0 vs every entity, min-id tie-break, kept at
+    # the default min_score=0.0 boundary
+    assert got[2] == (10, 0.0)
