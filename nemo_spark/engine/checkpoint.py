@@ -27,10 +27,17 @@ from pyspark.sql import functions as F
 def _safe_name(name: str) -> str:
     """Snapshot names become filesystem path components: IRI predicate
     names carry '/' and ':' which break both local paths and Hadoop Path
-    parsing (same sanitization as export filenames, parser/runner.py)."""
+    parsing (same sanitization as export filenames, parser/runner.py).
+    Names the sanitizer ALTERS get a content-hash suffix so distinct
+    predicates that sanitize identically ('http://x/p' vs 'http://x:p')
+    cannot share — and silently overwrite — one snapshot directory."""
+    import hashlib
     import re
 
-    return re.sub(r"[^A-Za-z0-9_.\-]", "_", name)
+    safe = re.sub(r"[^A-Za-z0-9_.\-]", "_", name)
+    if safe != name:
+        safe += "_" + hashlib.md5(name.encode()).hexdigest()[:8]
+    return safe
 
 
 class CheckpointStore:
@@ -57,10 +64,14 @@ class CheckpointStore:
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         )
+        # one OVERWRITTEN subdirectory per (name, step), not a shared append:
+        # streaming redelivers a batch whose snapshot ran but whose offset
+        # never committed, and the re-run must be idempotent — an append
+        # would double that step's lineage rows
         self.spark.createDataFrame(
             [(name, step, r["partition_id"], r["rows"]) for r in lineage_rows],
             "name string, step int, partition_id int, rows long",
-        ).coalesce(1).write.mode("append").parquet(os.path.join(self.root, "_lineage"))
+        ).coalesce(1).write.mode("overwrite").parquet(self._lineage_path(name, step))
         meta = {
             "name": name,
             "step": step,
@@ -90,23 +101,37 @@ class CheckpointStore:
         return steps[-1] if steps else None
 
     def load(self, name: str, step: int | None = None) -> DataFrame | None:
-        """Resume: read a snapshot (latest complete one by default)."""
-        step = self.latest_step(name) if step is None else step
+        """Resume: read a snapshot (latest complete one by default). An
+        explicit ``step`` is held to the same _SUCCESS completeness check as
+        steps()/latest_step — a crash mid-write must not resume from a
+        partial snapshot."""
         if step is None:
-            return None
+            step = self.latest_step(name)
+            if step is None:
+                return None
+        elif not os.path.exists(os.path.join(self._path(name, step), "_SUCCESS")):
+            raise ValueError(f"snapshot {name!r} step {step} is missing or incomplete")
         return self.spark.read.parquet(self._path(name, step))
 
     # --------------------------------------------------------------- lineage
 
     def lineage(self) -> DataFrame:
         path = os.path.join(self.root, "_lineage")
-        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+        subdirs = [
+            os.path.join(path, d)
+            for d in sorted(os.listdir(path))
+            if os.path.isdir(os.path.join(path, d))
+        ]
+        if not subdirs:
             # fresh store: no lineage rows yet (read.parquet on an empty
             # directory raises instead of returning an empty frame)
             return self.spark.createDataFrame(
                 [], "name string, step int, partition_id int, rows long"
             )
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(*subdirs)
+
+    def _lineage_path(self, name: str, step: int) -> str:
+        return os.path.join(self.root, "_lineage", f"{_safe_name(name)}__{step:06d}")
 
     def metrics(self, name: str) -> list[dict]:
         out = []

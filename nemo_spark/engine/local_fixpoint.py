@@ -65,14 +65,12 @@ class LocalFixpoint:
     def __init__(
         self,
         tables: dict[str, set],
-        arities: dict[str, int],
         chase: str,
         typed: bool,
         max_derived: int = 5_000_000,
         stratum_idx: int = 0,
     ) -> None:
         self.tables = {p: set(rows) for p, rows in tables.items()}
-        self.arities = dict(arities)
         self.chase = chase
         self.typed = typed
         self.stratum_idx = stratum_idx  # qualifies auto rule labels
@@ -91,7 +89,9 @@ class LocalFixpoint:
     def run(self, rules: list[Rule]) -> dict[str, set]:
         import time as _time
 
-        deltas = {p: set(rows) for p, rows in self.tables.items()}
+        # round 0 evaluates every rule over the FULL tables (variants =
+        # [None] ignores deltas entirely), so no initial delta copy is needed
+        deltas: dict[str, set] = {}
         first = True
         round_no = 0
         while True:
@@ -139,28 +139,81 @@ class LocalFixpoint:
     # ----------------------------------------------------------- rule eval
 
     def _bindings(self, rule: Rule, variant, deltas) -> list[dict]:
-        """Join the body atoms; variant i reads atom i from the delta set."""
+        """Join the body atoms; variant i reads atom i from the delta set.
+
+        Each atom is joined through a hash index on its (bound-variable,
+        constant) positions — the naive nested scan was O(|bindings|*|src|)
+        per atom, quadratic at the 100k default threshold."""
         out = [dict()]
         for i, atom in enumerate(rule.body):
             src = deltas.get(atom.pred, set()) if (variant is not None and i == variant) else self.tables.get(atom.pred, set())
             if not src and not (variant is not None and i == variant):
                 return []
-            nxt = []
-            for binding in out:
-                for row in src:
-                    b = self._match(atom, row, binding)
-                    if b is not None:
-                        nxt.append(b)
-            out = nxt
+            out = self._join_atom(atom, src, out)
             if not out:
                 return []
-        # negation: drop bindings with a matching negated fact
+        # negation: drop bindings with a matching negated fact (hash-probed
+        # on the negated atom's bound positions)
         for natom in rule.negated:
             facts = self.tables.get(natom.pred, set())
-            if not facts:
+            if not facts or not out:
                 continue
-            out = [b for b in out if not any(self._match(natom, row, b) is not None for row in facts)]
+            key_pos = self._key_positions(natom, set(out[0]))
+            index = self._index(facts, key_pos)
+            out = [
+                b
+                for b in out
+                if not any(
+                    self._match(natom, row, b) is not None
+                    for row in index.get(self._probe_key(key_pos, b), ())
+                )
+            ]
         return out
+
+    @staticmethod
+    def _key_positions(atom: Atom, bound: set) -> list[tuple]:
+        """(position, var_name_or_None, constant_cell_or_None) for every
+        position usable as a hash key: already-bound variables + constants."""
+        key_pos = []
+        for j, t in enumerate(atom.terms):
+            if isinstance(t, Var):
+                if t.name in bound:
+                    key_pos.append((j, t.name, None))
+            else:
+                key_pos.append((j, None, _term_cell(t)))
+        return key_pos
+
+    @staticmethod
+    def _index(src, key_pos) -> dict:
+        index: dict = {}
+        for row in src:
+            index.setdefault(tuple(row[j] for j, _, _ in key_pos), []).append(row)
+        return index
+
+    @staticmethod
+    def _probe_key(key_pos, binding: dict) -> tuple:
+        return tuple(c if name is None else binding[name] for _, name, c in key_pos)
+
+    def _join_atom(self, atom: Atom, src, out: list[dict]) -> list[dict]:
+        if not out:
+            return []
+        key_pos = self._key_positions(atom, set(out[0]))
+        nxt = []
+        if not key_pos:
+            # true cartesian step (no shared variables, no constants)
+            for b in out:
+                for row in src:
+                    nb = self._match(atom, row, b)
+                    if nb is not None:
+                        nxt.append(nb)
+            return nxt
+        index = self._index(src, key_pos)
+        for b in out:
+            for row in index.get(self._probe_key(key_pos, b), ()):
+                nb = self._match(atom, row, b)
+                if nb is not None:
+                    nxt.append(nb)
+        return nxt
 
     @staticmethod
     def _match(atom: Atom, row: tuple, binding: dict) -> dict | None:
@@ -272,20 +325,43 @@ class LocalFixpoint:
                 # path's sort_key_bytes-keyed min_by/max_by
                 return pick(vals, key=lambda v: Value(*v).order_key())
             return pick(vals)
-        # sum
+        # sum — replicate the distributed dispatch EXACTLY
+        # (_project_aggregate_typed, seminaive.py): non-numeric operands are
+        # IGNORED (not group-dropping); a u64-range operand in an
+        # integer-only group means no exact i64 total => no result; floats
+        # present => f32 (floats only) or f64 total, with non-finite totals
+        # dropping the group like wrap_float/wrap_double
         if self.typed:
-            from nemo_spark.model.values import T_DOUBLE, T_FLOAT, T_INT
+            from nemo_spark.model.values import T_DOUBLE, T_FLOAT, T_INT, T_ULONG, ValueError_
 
-            tags = {v[0] for v in vals}
-            if not tags <= {T_INT, T_FLOAT, T_DOUBLE}:
-                return None
-            if tags == {T_INT}:
-                try:
-                    return Value.int(sum(v[1] for v in vals)).as_row()
-                except Exception:
+            si, su, sd = 0, 0.0, 0.0
+            ni = nf = nd = nu = 0
+            for v in vals:
+                if v[0] == T_INT:
+                    si += v[1]
+                    ni += 1
+                elif v[0] == T_FLOAT:
+                    sd += v[2]
+                    nf += 1
+                elif v[0] == T_DOUBLE:
+                    sd += v[2]
+                    nd += 1
+                elif v[0] == T_ULONG:
+                    # wrapped u64 payload: i64 field + 2^64 recovers the value
+                    su += float(v[1]) + float(1 << 64)
+                    nu += 1
+            if nf == 0 and nd == 0:
+                if nu or ni == 0:
                     return None
-            total = sum(v[1] if v[0] == T_INT else v[2] for v in vals)
-            if tags == {T_FLOAT}:
-                return Value.float32(total).as_row()
-            return Value.double(total).as_row()
+                try:
+                    return Value.int(si).as_row()
+                except ValueError_:
+                    return None
+            total = sd + su + float(si)
+            try:
+                if ni == 0 and nd == 0 and nu == 0:
+                    return Value.float32(total).as_row()
+                return Value.double(total).as_row()
+            except ValueError_:
+                return None
         return sum(vals)

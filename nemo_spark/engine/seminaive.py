@@ -759,7 +759,6 @@ class SemiNaiveEngine:
             typed = typed or _is_value_struct_df(self._tables[p])
         lf = LocalFixpoint(
             tables,
-            {p: self._arity[p] for p in preds if p in self._arity},
             self.chase,
             typed,
             stratum_idx=stratum_idx,

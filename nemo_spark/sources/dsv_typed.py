@@ -55,9 +55,18 @@ def read_dsv_typed(
     delimiter: str = ",",
     quoting: bool = True,
     ignore_headers: bool = False,
+    multiline: str | bool = "auto",
 ) -> DataFrame:
     """Read a DSV file into typed value-struct columns c0..c{n-1} (n = number
-    of non-skip formats)."""
+    of non-skip formats).
+
+    ``multiline``: quoted fields may contain embedded newlines (csv-crate
+    semantics — the reference parses them as one record, a line-based scan
+    would shred them into two skipped fragments). ``'auto'`` (default)
+    probes for an odd-quote-count line and switches to the per-file reader
+    only when one exists, so clean data keeps the splittable line path; pass
+    ``False`` to skip the probe scan when the data is known single-line, or
+    ``True`` to force the per-file reader."""
     import csv as _csv
 
     keep = [i for i, f in enumerate(formats) if f != "skip"]
@@ -70,6 +79,18 @@ def read_dsv_typed(
         F.input_file_name().alias("__f"),
         F.input_file_block_start().alias("__o"),
     )
+
+    if quoting and multiline != False:  # noqa: E712  ('auto' is truthy)
+        if multiline == "auto":
+            # a record that continues past its line has an ODD number of
+            # quote chars on the break line; single-line records always
+            # balance. limit(1) short-circuits on the first hit.
+            nq = F.length("value") - F.length(F.replace(F.col("value"), F.lit('"'), F.lit("")))
+            multiline = not src.where(nq % 2 == 1).limit(1).isEmpty()
+        if multiline:
+            return _read_dsv_whole_files(
+                spark, path, parsers, keep, total, delimiter, ignore_headers, out_schema
+            )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         header_seen: set[str] = set()
@@ -103,6 +124,49 @@ def read_dsv_typed(
     return src.mapInPandas(parse, schema=out_schema)
 
 
+def _read_dsv_whole_files(
+    spark: SparkSession,
+    path: str,
+    parsers,
+    keep,
+    total: int,
+    delimiter: str,
+    ignore_headers: bool,
+    out_schema: str,
+) -> DataFrame:
+    """Per-file csv parse (``wholetext``): the fallback for quoted records
+    with embedded newlines. Parallelism is per FILE — exactly the
+    reference's sequential-reader granularity — so it only runs when the
+    data actually needs it (see read_dsv_typed's multiline probe)."""
+    import csv as _csv
+    import io as _io
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cols: list[list] = [[] for _ in keep]
+            for text in pdf["value"]:
+                first = True
+                for rec in _csv.reader(_io.StringIO(text), delimiter=delimiter):
+                    is_first, first = first, False
+                    if ignore_headers and is_first:
+                        continue
+                    if not rec:
+                        continue  # blank line
+                    if len(rec) != total:
+                        continue  # flexible records: wrong arity => skipped
+                    try:
+                        vals = [p(rec[i]) for p, i in parsers]
+                    except ValueError_:
+                        continue  # typed format parse error => row skipped
+                    for c, v in zip(cols, vals):
+                        c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})
+            yield pd.DataFrame({f"c{j}": cols[j] for j in range(len(keep))})
+
+    return spark.read.text(path, wholetext=True).mapInPandas(parse, schema=out_schema)
+
+
 def typed_rows_df(spark: SparkSession, rows: list[tuple], arity: int) -> DataFrame:
     """DataFrame of typed value structs from driver-side Value tuples."""
     schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(arity))
@@ -117,10 +181,17 @@ def empty_typed_df(spark: SparkSession, arity: int) -> DataFrame:
 
 def peek_field_count(spark: SparkSession, path: str, delimiter: str = ",") -> int:
     """Arity inference for predicates with no declared/derived arity: field
-    count of the file's first record (one tiny Spark job)."""
+    count of the file's first NON-BLANK record (one tiny Spark job — a
+    leading empty line would otherwise infer a zero-column import; nemo's
+    csv reader skips blank lines)."""
     import csv as _csv
 
-    first = spark.read.text(path).limit(1).collect()
+    first = (
+        spark.read.text(path)
+        .where(F.length(F.trim(F.col("value"))) > 0)
+        .limit(1)
+        .collect()
+    )
     if not first:
         return 1
     return len(next(_csv.reader([first[0].value], delimiter=delimiter)))

@@ -47,10 +47,26 @@ class FilterTransformPattern:
 
 def pattern_output_arity(patterns, input_arity: int) -> int:
     """tuple_buffer.rs:309 ``output_columns_from_patterns``: the first
-    pattern's transformation count, else the input arity."""
-    if patterns and patterns[0].transforms is not None:
-        return len(patterns[0].transforms)
-    return input_arity
+    pattern's transformation count, else the input arity — with every OTHER
+    pattern validated against it. A filter-only pattern mixed with a
+    transforming one would emit rows of two different widths into one
+    reader schema (ragged columns crash the Arrow batch assembly), so
+    inconsistency is a loud error here instead."""
+    if not patterns:
+        return input_arity
+    out = (
+        len(patterns[0].transforms)
+        if patterns[0].transforms is not None
+        else input_arity
+    )
+    for i, p in enumerate(patterns[1:], start=1):
+        p_out = len(p.transforms) if p.transforms is not None else input_arity
+        if p_out != out:
+            raise ValueError(
+                f"filter/transform pattern {i} produces arity {p_out}, "
+                f"pattern 0 produces {out} — patterns must agree"
+            )
+    return out
 
 
 def apply_patterns(row: Row, patterns) -> Row | None:

@@ -407,8 +407,8 @@ def test_local_fixpoint_overflow_falls_back_distributed(spark):
 
     orig = lf_mod.LocalFixpoint.__init__
 
-    def patched(self, tables, arities, chase, typed, max_derived=5_000_000, **kw):
-        orig(self, tables, arities, chase, typed, max_derived=1_000, **kw)
+    def patched(self, tables, chase, typed, max_derived=5_000_000, **kw):
+        orig(self, tables, chase, typed, max_derived=1_000, **kw)
 
     lf_mod.LocalFixpoint.__init__ = patched
     try:
@@ -684,3 +684,26 @@ def test_rule_labels_unique_across_strata(spark):
     assert len(labels) == 2, labels
     tree = eng.trace_tree("a", (1,))
     assert tree is not None and tree["premises"], tree  # subtree not lost
+
+
+def test_local_sum_matches_distributed_on_mixed_types(spark):
+    """#sum semantics must be identical on the local and distributed paths:
+    non-numeric operands are IGNORED (not group-dropping), and a non-finite
+    double total drops the group (wrap_double parity) instead of crashing
+    the local evaluator."""
+    from nemo_spark.parser.runner import RlsRunner
+
+    prog = """
+    v(a, 1) . v(a, "ignored") . v(b, 1.5e308) . v(b, 1.4e308) . v(c, 2.5) .
+    s(?x, #sum(?y)) :- v(?x, ?y) .
+    @output s .
+    """
+    results = []
+    for threshold in (100_000, 0):  # local fast path vs distributed
+        with RlsRunner(spark, source=prog, local_stratum_threshold=threshold) as r:
+            r.run()
+            results.append({(row[0].s, row[1].i, row[1].d) for row in r.table("s").collect()})
+    assert results[0] == results[1]
+    # group a: string ignored, sum=1; group b: inf -> dropped; c: 2.5
+    names = {t[0] for t in results[0]}
+    assert names == {"a", "c"}

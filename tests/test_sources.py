@@ -109,3 +109,69 @@ def test_turtle_blank_nodes_scoped(spark, tmp_path):
         for r in read_rdf_typed(spark, str(tmp_path / "docs"), "turtle").collect()
     ]
     assert len({r[0].s for r in rows2}) == 2
+
+
+def test_dsv_multiline_quoted_record(spark, tmp_path):
+    """A quoted field with an embedded newline is ONE record (csv-crate
+    semantics) — the line-based scan previously shredded it into two
+    skipped fragments and silently lost the fact."""
+    from nemo_spark.sources.dsv_typed import read_dsv_typed
+
+    p = tmp_path / "m.csv"
+    p.write_text('a,"x\ny",b\nc,d,e\n')
+    rows = read_dsv_typed(spark, str(p), ["any", "any", "any"]).collect()
+    got = {tuple(c.s for c in r) for r in rows}
+    assert got == {("a", "x\ny", "b"), ("c", "d", "e")}
+    # multiline=False keeps the splittable line path (fragments skipped)
+    fast = read_dsv_typed(spark, str(p), ["any", "any", "any"], multiline=False).collect()
+    assert {tuple(c.s for c in r) for r in fast} == {("c", "d", "e")}
+
+
+def test_dsv_peek_skips_blank_lines(spark, tmp_path):
+    from nemo_spark.sources.dsv_typed import peek_field_count
+
+    p = tmp_path / "b.csv"
+    p.write_text("\n\nx,y,z\n")
+    assert peek_field_count(spark, str(p)) == 3
+
+
+def test_pattern_arity_mismatch_is_loud():
+    from nemo_spark.sources.patterns import FilterTransformPattern, pattern_output_arity
+
+    filt = FilterTransformPattern(filters=(), transforms=None)
+    trans = FilterTransformPattern(filters=(), transforms=(lambda r: r[0], lambda r: r[1]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="arity"):
+        pattern_output_arity([filt, trans], input_arity=3)
+    assert pattern_output_arity([trans, trans], input_arity=3) == 2
+    assert pattern_output_arity([filt], input_arity=3) == 3
+
+
+def test_checkpoint_store_hardening(spark, tmp_path):
+    """(a) snapshot idempotency extends to lineage (streaming redelivery
+    re-snapshots the same step); (b) distinct names that sanitize
+    identically do not share a directory; (c) an explicitly requested
+    incomplete step errors instead of resuming from partial data."""
+    import os
+
+    import pytest as _pytest
+
+    from nemo_spark.engine.checkpoint import CheckpointStore, _safe_name
+
+    store = CheckpointStore(str(tmp_path / "s"), spark)
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    store.snapshot("p", df, 0)
+    store.snapshot("p", df, 0)  # redelivered batch
+    assert store.lineage().groupBy().sum("rows").collect()[0][0] == 2
+    # sanitization collisions get distinct hashed directories
+    a, b = _safe_name("http://x/p"), _safe_name("http://x:p")
+    assert a != b
+    store.snapshot("http://x/p", df, 0)
+    store.snapshot("http://x:p", spark.createDataFrame([(9,)], "v long"), 0)
+    assert store.load("http://x/p").count() == 2
+    assert store.load("http://x:p").count() == 1
+    # explicit incomplete step: create the dir without _SUCCESS
+    os.makedirs(str(tmp_path / "s" / "p" / "step=7"))
+    with _pytest.raises(ValueError, match="incomplete"):
+        store.load("p", 7)
