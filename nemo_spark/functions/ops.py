@@ -58,8 +58,10 @@ def num_power(a: Column, b: Column) -> Column:
 
 
 def num_logarithm(a: Column, base: Column) -> Column:
-    # nemo: log(value, base)
-    return F.log(base, a)  # pyspark: F.log(base, col)
+    # nemo: log(value, base). Computed as a log-ratio: pyspark's two-arg
+    # F.log requires a FLOAT literal base and raises NOT_ITERABLE when
+    # handed a Column (same workaround as typed.py's _int_log).
+    return F.log(a) / F.log(base)
 
 
 def num_absolute(a: Column) -> Column:
@@ -229,8 +231,11 @@ def str_levenshtein(a: Column, b: Column) -> Column:
 
 
 def str_compare(a: Column, b: Column) -> Column:
-    """nemo StringCompare: -1/0/1."""
-    return F.when(a < b, F.lit(-1)).when(a == b, F.lit(0)).otherwise(F.lit(1))
+    """nemo StringCompare: -1/0/1; NULL inputs propagate (no-result) —
+    the bare otherwise() branch used to map them to 1."""
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("int")).when(
+        a < b, F.lit(-1)
+    ).when(a == b, F.lit(0)).otherwise(F.lit(1))
 
 
 def fstring(fmt: str, *cols: Column) -> Column:

@@ -186,10 +186,16 @@ def _int_pow(a: Column, b: Column) -> Column:
 
 
 def _int_sqrt(a: Column) -> Column:
-    # floor integer sqrt (integer64.rs:72 Roots::sqrt), with float-error nudge
+    # floor integer sqrt (integer64.rs:72 Roots::sqrt), with float-error
+    # nudge. try_multiply for the verification squares: (s+1)^2 overflows
+    # i64 for a >= 3037000499^2 and a bare multiply would ANSI-abort the
+    # whole query on that legal input; a null (overflowed) square certainly
+    # exceeds a, so the comparison treats it as "too big".
     s = F.floor(F.sqrt(a.cast("double"))).cast("long")
-    s = F.when((s + 1) * (s + 1) <= a, s + 1).otherwise(s)
-    s = F.when(s * s > a, s - 1).otherwise(s)
+    up = F.try_multiply(s + 1, s + 1)
+    s = F.when(up.isNotNull() & (up <= a), s + 1).otherwise(s)
+    sq = F.try_multiply(s, s)
+    s = F.when(sq.isNull() | (sq > a), s - 1).otherwise(s)
     return F.when(a >= 0, s).otherwise(F.lit(None).cast("long"))
 
 
@@ -229,7 +235,11 @@ def t_remainder(a: Column, b: Column) -> Column:
     return _arith2(
         a,
         b,
-        lambda x, y: F.when(y != F.lit(0), x % y).otherwise(F.lit(None).cast("long")),
+        # i64::MIN % -1 must be no-result (checked_rem overflow in the
+        # reference); Spark's long remainder quietly returns 0 there
+        lambda x, y: F.when(
+            (y != F.lit(0)) & ~((x == F.lit(I64_MIN)) & (y == F.lit(-1))), x % y
+        ).otherwise(F.lit(None).cast("long")),
         lambda x, y: F.when(y != F.lit(0.0), x % y).otherwise(F.lit(None).cast("double")),
     )
 
@@ -256,10 +266,12 @@ def t_lukasiewicz(a: Column, b: Column) -> Column:
         a,
         b,
         # overflow must stay no-result: greatest() IGNORES null args, so
-        # a try_add overflow would otherwise collapse to the floor value 0
+        # a try_add overflow would otherwise collapse to the floor value 0.
+        # The -1 must be try_subtract too: x+y == i64::MIN passes the
+        # try_add guard but the bare subtraction would ANSI-abort the query
         lambda x, y: F.when(
-            F.try_add(x, y).isNotNull(),
-            F.greatest(F.lit(0).cast("long"), F.try_add(x, y) - F.lit(1)),
+            F.try_subtract(F.try_add(x, y), F.lit(1)).isNotNull(),
+            F.greatest(F.lit(0).cast("long"), F.try_subtract(F.try_add(x, y), F.lit(1))),
         ).otherwise(F.lit(None).cast("long")),
         lambda x, y: F.greatest(F.lit(0.0), x + y - F.lit(1.0)),
     )
@@ -537,16 +549,55 @@ def lexical_col(a: Column) -> Column:
 
 
 def _rust_double_str(d: Column) -> Column:
-    """Rust f64 Display (shortest decimal, no exponent, no trailing .0) as a
-    Catalyst expression. Java's Double.toString picks the same shortest
-    digits; we reformat its exponent notation into plain decimal."""
-    return _expand_exponent(d.cast("string"))
+    """Rust f64 Display (shortest decimal, no exponent, no trailing .0).
+
+    Arrow-batched through the SAME driver-side formatter the export
+    serializer uses (values.rust_f64_str): Java's Double.toString only
+    picks shortest round-trip digits on JDK 19+ — on the JDK 17 this
+    environment runs, Double.toString(1.0e23) is "9.999999999999999E22",
+    so the old cast("string") path printed different digits than both the
+    reference and our own export files. Only the STR/fullStr function
+    surface pays the UDF cost; exports never route through here."""
+    return _f64_str_udf()(d)
 
 
 def _rust_float_str(d: Column) -> Column:
-    """Rust f32 Display for the f32 value stored widened in a double: Java's
-    Float.toString picks the f32-shortest digits."""
-    return _expand_exponent(d.cast("float").cast("string"))
+    """Rust f32 Display for the f32 value stored widened in a double."""
+    return _f32_str_udf()(d)
+
+
+_F64_UDF = _F32_UDF = None
+
+
+def _mk_str_udf(fmt_fn):
+    import pandas as pd
+
+    def fmt(s):
+        return s.map(lambda v: None if pd.isna(v) else fmt_fn(float(v)))
+
+    # real type objects, not strings: the module's `from __future__ import
+    # annotations` would stringify inline hints and pandas is not resolvable
+    # in this module's globals when pyspark re-evaluates them
+    fmt.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(fmt, "string")
+
+
+def _f64_str_udf():
+    global _F64_UDF
+    if _F64_UDF is None:
+        from nemo_spark.model.values import rust_f64_str
+
+        _F64_UDF = _mk_str_udf(rust_f64_str)
+    return _F64_UDF
+
+
+def _f32_str_udf():
+    global _F32_UDF
+    if _F32_UDF is None:
+        from nemo_spark.model.values import rust_f32_str
+
+        _F32_UDF = _mk_str_udf(rust_f32_str)
+    return _F32_UDF
 
 
 def t_fullstr(a: Column) -> Column:
@@ -596,34 +647,6 @@ def canonical_col(a: Column) -> Column:
         .when(vt(a) == T_MAP, F.concat(_quote_str_col(vs(a)), F.lit(f"^^<{NEMO_MAP}>")))
         .otherwise(F.concat(_quote_str_col(other_lex), F.lit("^^<"), other_dt, F.lit(">")))
     )
-
-
-def _expand_exponent(j: Column) -> Column:
-    has_exp = F.contains(j, F.lit("E"))
-    mant = F.substring_index(j, "E", 1)
-    exp = F.when(has_exp, F.substring_index(j, "E", -1).cast("int")).otherwise(F.lit(0))
-    neg = mant.startswith("-")
-    mant_abs = F.when(neg, F.substr(mant, F.lit(2))).otherwise(mant)
-    ip = F.substring_index(mant_abs, ".", 1)
-    fp = F.when(F.contains(mant_abs, F.lit(".")), F.substring_index(mant_abs, ".", -1)).otherwise(F.lit(""))
-    # Java keeps a placeholder ".0" in E-notation mantissas ("1.0E-4"):
-    # strip trailing zeros or the expansion renders "0.00010" where the
-    # reference (Rust shortest round-trip) prints "0.0001"
-    fp = F.regexp_replace(fp, "0+$", "")
-    digits = F.concat(ip, fp)
-    point = F.length(ip) + exp
-    shifted = F.when(
-        point <= 0,
-        F.concat(F.lit("0."), F.repeat(F.lit("0"), -point), digits),
-    ).when(
-        point >= F.length(digits),
-        F.concat(digits, F.repeat(F.lit("0"), point - F.length(digits))),
-    ).otherwise(
-        F.concat(F.substr(digits, F.lit(1), point), F.lit("."), F.substr(digits, point + 1))
-    )
-    plain = F.when(has_exp, F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), shifted)).otherwise(j)
-    plain = F.when(plain.endswith(".0"), F.substr(plain, F.lit(1), F.length(plain) - 2)).otherwise(plain)
-    return plain
 
 
 def t_datatype(a: Column) -> Column:
@@ -714,9 +737,25 @@ def t_cast_int(a: Column) -> Column:
     0b/0o/0x radix literals."""
     lex = F.when(vt(a).isin(T_STRING, T_OTHER), _lex_str_other(a))
     dec = F.trim(lex)
-    radix = F.when(dec.rlike("^0b[01]+$"), F.try_to_number(F.conv(F.substr(dec, F.lit(3)), 2, 10), F.lit("999999999999999999")).cast("long")) \
-        .when(dec.rlike("^0o[0-7]+$"), F.try_to_number(F.conv(F.substr(dec, F.lit(3)), 8, 10), F.lit("999999999999999999")).cast("long")) \
-        .when(dec.rlike("^0x[0-9A-Fa-f]+$"), F.try_to_number(F.conv(F.substr(dec, F.lit(3)), 16, 10), F.lit("999999999999999999")).cast("long")) \
+
+    def _radix_long(digits: Column, base: int, max_len: int) -> Column:
+        # max_len = the longest digit string that can still fit i64
+        # (63 bits / 21 octal / 16 hex): longer always exceeds i64::MAX =>
+        # no-result, and the cap also keeps F.conv inside u64 (its ANSI
+        # overflow would abort the query). The 19-nines format admits every
+        # 19-digit decimal rendering (the old 18-nines silently rejected
+        # legal values in [10^18, i64::MAX]); try_cast nulls the >i64 tail.
+        sig = F.regexp_replace(digits, "^0+", "")
+        n = F.try_to_number(F.conv(sig, base, 10), F.lit("9" * 19)).try_cast("long")
+        return (
+            F.when(F.length(sig) == 0, F.lit(0).cast("long"))
+            .when(F.length(sig) <= max_len, n)
+            .otherwise(F.lit(None).cast("long"))
+        )
+
+    radix = F.when(dec.rlike("^0b[01]+$"), _radix_long(F.substr(dec, F.lit(3)), 2, 63)) \
+        .when(dec.rlike("^0o[0-7]+$"), _radix_long(F.substr(dec, F.lit(3)), 8, 21)) \
+        .when(dec.rlike("^0x[0-9A-Fa-f]+$"), _radix_long(F.substr(dec, F.lit(3)), 16, 16)) \
         .otherwise(dec.try_cast("long"))
     from_num = F.when(
         vt(a).isin(T_DOUBLE, T_FLOAT) & (F.round(vd(a), 0) == vd(a)),

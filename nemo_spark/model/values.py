@@ -605,7 +605,22 @@ def from_typed_literal(lexical: str, datatype: str) -> Value:
             return Value.int(n)
         if t in ("decimal", "integer", "positiveInteger", "nonNegativeInteger",
                  "negativeInteger", "nonPositiveInteger"):
-            return from_decimal_literal(lexical, integer_only=(t != "decimal"))
+            v = from_decimal_literal(lexical, integer_only=(t != "decimal"))
+            # derived integer types constrain the value space
+            # (any_datavalue.rs:319-333 new_from_decimal_type_literal):
+            # out-of-domain lexicals are creation errors => fact rejected
+            if v.t == T_INT:
+                n = v.i
+                if (
+                    (t == "positiveInteger" and n <= 0)
+                    or (t == "nonNegativeInteger" and n < 0)
+                    or (t == "negativeInteger" and n >= 0)
+                    or (t == "nonPositiveInteger" and n > 0)
+                ):
+                    raise ValueError_(f"out-of-domain {t} literal: {lexical}")
+            elif v.t == T_ULONG and t in ("negativeInteger", "nonPositiveInteger"):
+                raise ValueError_(f"out-of-domain {t} literal: {lexical}")  # > i64::MAX
+            return v
         if t == "double":
             try:
                 return Value.double(float(lexical))

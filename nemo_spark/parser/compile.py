@@ -115,6 +115,15 @@ class Resolver:
         return name
 
     def pred(self, name: str) -> str:
+        if name.startswith("<") and name.endswith(">"):
+            # bracketed IRI predicate (the parser preserves the brackets):
+            # never prefix-resolved — <ex:local> IS the absolute IRI
+            # ex:local even when @prefix ex: is declared; scheme-less
+            # (relative) IRIs resolve against @base
+            inner = name[1:-1]
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", inner):
+                return inner
+            return self.bare(inner)
         if ":" in name and not name.startswith(("http:", "https:")):
             p, _, l = name.partition(":")
             if p in self.prefixes:
@@ -792,6 +801,16 @@ def _contains_agg(node) -> bool:
     return False
 
 
+def _count_aggs(node) -> int:
+    if isinstance(node, TAgg):
+        return 1
+    if isinstance(node, TCall):
+        return sum(_count_aggs(a) for a in node.args)
+    if isinstance(node, TFString):
+        return sum(_count_aggs(p) for p in node.parts if not isinstance(p, str))
+    return 0
+
+
 def _find_agg(node) -> TAgg | None:
     if isinstance(node, TAgg):
         return node
@@ -853,7 +872,10 @@ def _compile_rule(rast: RuleAST, ridx: int, resolver: Resolver, ec: ExprCompiler
         if not agg_terms:
             out.append(_compile_simple_rule(sub, tag, resolver, ec))
             continue
-        if len(agg_terms) > 1:
+        # count AGGREGATES, not agg-containing terms: ``#sum(?X) + #count(?Y)``
+        # is one term with two aggregates, and _replace_agg would alias both
+        # to the single computed __aggout — silent wrong results
+        if len(agg_terms) > 1 or sum(_count_aggs(t) for t in agg_terms) > 1:
             raise CompileError("at most one aggregate per rule")
         term = agg_terms[0]
         if isinstance(term, TAgg):

@@ -398,7 +398,12 @@ class Parser:
         if t.kind in ("NAME", "PNAME"):
             return self.next().text
         if t.kind == "IRIREF":
-            return self.next().text[1:-1]
+            # KEEP the angle brackets: stripping them here made <urn:uuid:1>
+            # indistinguishable from a pname (the 'urn' prefix), and
+            # <ex:local> silently prefix-expanded. Resolver.pred strips them
+            # after routing bracketed names down the absolute/relative-IRI
+            # path instead of prefix resolution.
+            return self.next().text
         raise SyntaxError(f"rls: expected predicate name, got {t.text!r}")
 
     def _fact_or_rule(self, prog: ProgramAST) -> None:

@@ -102,3 +102,49 @@ def test_typed_edge_semantics(spark):
     # E-notation expansion drops Java's placeholder mantissa zero
     assert ev(TY.t_str(lv(Value.double(1e-4))))["s"] == "0.0001"
     assert ev(TY.t_str(lv(Value.double(1.05e-4))))["s"] == "0.000105"
+
+
+def test_ansi_overflow_edges_no_result(spark):
+    """Edges that previously ANSI-aborted the whole query or silently
+    diverged from the reference's checked arithmetic."""
+    from nemo_spark.functions import typed as TY
+    from nemo_spark.model.values import Value
+
+    df = spark.range(1)
+
+    def ev(col):
+        row = df.select(col.alias("v")).collect()[0].v
+        return None if row is None or row.t is None else row.asDict()
+
+    lv = TY.lit_value
+    # SQRT near i64::MAX: the verification square overflows i64 — must
+    # return the floor sqrt, not raise ARITHMETIC_OVERFLOW
+    assert ev(TY.t_squareroot(lv(Value.int(2**63 - 1))))["i"] == 3037000499
+    assert ev(TY.t_squareroot(lv(Value.int(9))))["i"] == 3
+    # LUKA where x+y == i64::MIN: try_add passes, the -1 must not abort
+    assert ev(TY.t_lukasiewicz(lv(Value.int(-(2**62))), lv(Value.int(-(2**62))))) is None
+    # i64::MIN % -1: Spark returns 0, checked_rem overflows => no result
+    assert ev(TY.t_remainder(lv(Value.int(-(2**63))), lv(Value.int(-1)))) is None
+    assert ev(TY.t_remainder(lv(Value.int(7)), lv(Value.int(3))))["i"] == 1
+    # radix casts in [10^18, i64::MAX] (19 decimal digits) are legal
+    assert ev(TY.t_cast_int(lv(Value.string("0x7FFFFFFFFFFFFFFF"))))["i"] == 2**63 - 1
+    assert ev(TY.t_cast_int(lv(Value.string("0x8000000000000000")))) is None  # > i64
+    assert ev(TY.t_cast_int(lv(Value.string("0x00000000000000000000ff"))))["i"] == 255
+    assert ev(TY.t_cast_int(lv(Value.string("0b0"))))["i"] == 0
+
+
+def test_double_str_shortest_roundtrip(spark):
+    """STR/fullStr double rendering must match Rust's shortest-round-trip
+    digits — Java 17's Double.toString is NOT shortest (1.0e23 prints as
+    9.999999999999999E22), so the formatter routes through the same
+    Python formatter the export serializer uses."""
+    from nemo_spark.functions import typed as TY
+    from nemo_spark.model.values import Value, rust_f64_str
+
+    df = spark.range(1)
+
+    def s(col):
+        return df.select(col.alias("v")).collect()[0].v.s
+
+    for x in (1.0e23, 5.960464477539063e-08, 0.0001, 3.0, -2.5, 1.05e-4):
+        assert s(TY.t_str(TY.lit_value(Value.double(x)))) == rust_f64_str(x), x

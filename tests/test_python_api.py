@@ -360,3 +360,37 @@ def test_timing_splits_merged_rule_labels(spark):
     timing = eng.timing()
     assert timing.subnode("Reasoning/Rules/Rule 0").system_time.total_seconds() == pytest.approx(0.004)
     assert timing.subnode("Reasoning/Rules/Rule 1").system_time.total_seconds() == pytest.approx(0.004)
+
+
+def test_bracketed_iri_predicates(spark):
+    """<urn:uuid:...> is an absolute-IRI predicate, not an undeclared
+    'urn' prefix; <ex:local> stays the literal IRI ex:local even when
+    @prefix ex: is declared (brackets suppress prefix resolution)."""
+    prog = load_string(
+        "@prefix ex: <http://example.org/> .\n"
+        "<urn:uuid:1234>(1) .\n<ex:local>(2) .\nex:p(3) .\n"
+        "out(?x) :- <urn:uuid:1234>(?x) .\nout(?x) :- <ex:local>(?x) .\n"
+        "out(?x) :- ex:p(?x) .\n@output out ."
+    )
+    eng = NemoEngine(prog, spark=spark)
+    eng.reason()
+    assert list(eng.result("out")) == [[1], [2], [3]]
+
+
+def test_multiple_aggregates_in_one_term_rejected():
+    # #sum(?x) + #count(?y) previously aliased BOTH aggregates to the one
+    # computed value (2*sum instead of an error)
+    with pytest.raises(NemoError, match="one aggregate"):
+        load_string("q(1,2) . p(#sum(?x) + #count(?y)) :- q(?x, ?y) .")
+
+
+def test_typed_literal_integer_domains():
+    from nemo_spark.model.values import ValueError_, XSD, from_typed_literal
+
+    assert from_typed_literal("5", XSD + "positiveInteger").i == 5
+    assert from_typed_literal("0", XSD + "nonNegativeInteger").i == 0
+    assert from_typed_literal("-1", XSD + "negativeInteger").i == -1
+    for lex, t in [("-5", "nonNegativeInteger"), ("0", "positiveInteger"),
+                   ("5", "negativeInteger"), ("1", "nonPositiveInteger")]:
+        with pytest.raises(ValueError_):
+            from_typed_literal(lex, XSD + t)
