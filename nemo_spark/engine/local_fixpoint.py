@@ -103,8 +103,9 @@ class LocalFixpoint:
                 ]
                 t_rule = _time.perf_counter()
                 fresh_rule = 0
+                lbl = rule_label(rule, self.stratum_idx, ri)
                 for variant in variants:
-                    for derived_pred, rows in self._apply(rule, variant, deltas).items():
+                    for derived_pred, rows in self._apply(rule, variant, deltas, lbl).items():
                         tbl = self.tables.setdefault(derived_pred, set())
                         fresh = rows - tbl
                         if fresh:
@@ -230,7 +231,7 @@ class LocalFixpoint:
                     return None
         return b
 
-    def _apply(self, rule: Rule, variant, deltas) -> dict[str, set]:
+    def _apply(self, rule: Rule, variant, deltas, label: str) -> dict[str, set]:
         bindings = self._bindings(rule, variant, deltas)
         if not bindings:
             return {}
@@ -239,7 +240,7 @@ class LocalFixpoint:
             return {rule.head.pred: self._aggregate(rule, aggregate, bindings)}
         evars = rule.existential_vars()
         if evars:
-            bindings = self._instantiate_nulls(rule, evars, bindings)
+            bindings = self._instantiate_nulls(rule, evars, bindings, label)
         out: dict[str, set] = defaultdict(set)
         for h in rule.heads():
             for b in bindings:
@@ -247,7 +248,7 @@ class LocalFixpoint:
                 out[h.pred].add(row)
         return out
 
-    def _instantiate_nulls(self, rule: Rule, evars, bindings) -> list[dict]:
+    def _instantiate_nulls(self, rule: Rule, evars, bindings, label: str) -> list[dict]:
         frontier = sorted(
             {
                 t.name
@@ -258,7 +259,9 @@ class LocalFixpoint:
         )
         if self.chase == "restricted":
             bindings = [b for b in bindings if not self._head_satisfied(rule, b, frontier)]
-        label = rule.name or rule.head.pred
+        # per-RULE skolem label (the stratum-qualified one, same policy as
+        # the distributed path): ``rule.name or head.pred`` made two unnamed
+        # same-head existential rules mint COLLIDING nulls
         out = []
         for b in bindings:
             fvals = tuple(b.get(v) for v in frontier)

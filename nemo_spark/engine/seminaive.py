@@ -48,6 +48,26 @@ log = logging.getLogger("nemo_spark.engine")
 _AGG_FN = {"min": F.min, "max": F.max, "sum": F.sum, "count": F.count}
 
 
+_CP_KEY = "spark.sql.constraintPropagation.enabled"
+_CP_STATE = {"count": 0, "saved": None}
+
+
+def _cp_disable(spark) -> None:
+    if _CP_STATE["count"] == 0:
+        try:
+            _CP_STATE["saved"] = spark.conf.get(_CP_KEY)
+        except Exception:
+            _CP_STATE["saved"] = None
+        spark.conf.set(_CP_KEY, "false")
+    _CP_STATE["count"] += 1
+
+
+def _cp_restore(spark) -> None:
+    _CP_STATE["count"] = max(_CP_STATE["count"] - 1, 0)
+    if _CP_STATE["count"] == 0 and _CP_STATE["saved"] is not None:
+        spark.conf.set(_CP_KEY, _CP_STATE["saved"])
+
+
 def _cols(n: int) -> list[str]:
     return [f"c{i}" for i in range(n)]
 
@@ -169,14 +189,22 @@ class SemiNaiveEngine:
         # when a multi-head rule unions two projections of one bound plan
         # (self-union) — a Catalyst bug our plans legitimately trigger.
         # Constraint propagation buys nothing for the fixpoint plan shapes
-        # (explicit filters, checkpointed unions), so disable it.
-        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        # (explicit filters, checkpointed unions), so disable it —
+        # refcounted so the LAST engine's close() restores the caller's
+        # value (the session is usually shared with non-engine workloads,
+        # and engines may overlap within one session)
+        _cp_disable(spark)
+        self._cp_released = False
         # provenance: (pred, rule_label, stratum, round, fresh facts) — the
         # Spark analogue of nemo's step-tagged subtables
         # (nemo/src/table_manager.rs:67), queried by trace_fact like nemo's
         # ExecutionTraceTree lookups (nemo/src/execution/tracing/trace.rs)
         self._provenance: list[tuple[str, str, int, int, DataFrame]] = []
         self._rules_by_label: dict[str, Rule] = {}
+        # id(rule) -> stratum-qualified label: skolem minting must be
+        # per-RULE unique (two unnamed existential rules with the same head
+        # predicate would otherwise mint colliding labeled nulls)
+        self._label_of: dict[int, str] = {}
         self._tables: dict[str, DataFrame] = {}
         # base (EDB) facts per predicate: registered tables + inline program
         # facts + extend() injections — what a non-monotone reset restores
@@ -212,6 +240,9 @@ class SemiNaiveEngine:
                 self._tables[pred] = self._tables[pred].localCheckpoint(eager=True)
             self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         self._history_tables.clear()
+        if not self._cp_released:
+            self._cp_released = True  # close() is idempotent; release once
+            _cp_restore(self.spark)
 
     def __enter__(self) -> "SemiNaiveEngine":
         return self
@@ -234,6 +265,10 @@ class SemiNaiveEngine:
             # suppress re-registered rows as "not fresh" and resurrect old
             # facts on the next bucketed merge
             self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # stale derivation records are also replaced state: trace_fact would
+        # otherwise report rules for facts the new table no longer holds
+        # (extend()'s non-monotone reset maintains the same invariant)
+        self._provenance = [rec for rec in self._provenance if rec[0] != pred]
         n = len(df.columns)
         df = df.toDF(*_cols(n)).dropDuplicates()
         self._tables[pred] = df
@@ -301,10 +336,11 @@ class SemiNaiveEngine:
         for p, label, stratum, round_idx, fresh in self._provenance:
             if p != pred:
                 continue
-            cond = None
+            # nullary fact: no value columns to match — membership alone
+            # (the stored unit filler column is an implementation detail)
+            cond = F.lit(True)
             for i, v in enumerate(values):
-                c = F.col(f"c{i}").eqNullSafe(_lit_term(v))
-                cond = c if cond is None else (cond & c)
+                cond = cond & F.col(f"c{i}").eqNullSafe(_lit_term(v))
             frames.append(
                 fresh.filter(cond).select(
                     F.lit(label).alias("rule"),
@@ -338,10 +374,9 @@ class SemiNaiveEngine:
         if not recs:
             # EDB fact? verify membership for a leaf
             if pred in self._tables:
-                cond = None
+                cond = F.lit(True)  # nullary: membership alone
                 for i, v in enumerate(values):
-                    c = F.col(f"c{i}").eqNullSafe(_lit_term(v))
-                    cond = c if cond is None else (cond & c)
+                    cond = cond & F.col(f"c{i}").eqNullSafe(_lit_term(v))
                 if not self._tables[pred].filter(cond).isEmpty():
                     return {"fact": (pred, values), "rule": None, "premises": []}
             return None
@@ -464,6 +499,7 @@ class SemiNaiveEngine:
         for si, s in enumerate(strata):
             for ri, r in enumerate(s):
                 self._rules_by_label.setdefault(_rule_label(r, si, ri), r)
+                self._label_of[id(r)] = _rule_label(r, si, ri)
         for stratum_idx, rules in enumerate(strata):
             self._run_stratum(stratum_idx, rules)
         return self.stats
@@ -494,8 +530,15 @@ class SemiNaiveEngine:
             # extend() calls (one per streaming micro-batch) don't grow
             # _base_tables' plan with live references to expired foreachBatch
             # frames — the non-monotone reset would otherwise re-read sources
-            # that may be past retention; (b) bounds per-batch analysis cost
-            df = df.toDF(*_cols(self._arity[pred])).dropDuplicates().localCheckpoint(eager=True)
+            # that may be past retention; (b) bounds per-batch analysis cost.
+            # SQL-NULL cells are dropped first: the fact domain has no NULL
+            # cell (labeled nulls are typed T_NULL VALUES), and a NULL-celled
+            # row would defeat the bucketed history's plain-key anti-join
+            # (NULL never equals NULL), re-firing as "fresh" every batch
+            df = df.toDF(*_cols(self._arity[pred]))
+            for c in df.columns:
+                df = df.where(F.col(c).isNotNull())
+            df = df.dropDuplicates().localCheckpoint(eager=True)
             self._base_tables[pred] = (
                 self._base_tables[pred].unionByName(df).dropDuplicates()
                 if pred in self._base_tables
@@ -515,6 +558,10 @@ class SemiNaiveEngine:
         if not deltas:
             return self.stats
         strata = stratify(program)
+        for si, s in enumerate(strata):
+            for ri, r in enumerate(s):
+                self._rules_by_label.setdefault(_rule_label(r, si, ri), r)
+                self._label_of[id(r)] = _rule_label(r, si, ri)
         monotone = all(not r.negated and r.head_aggregate() is None for s in strata for r in s)
         if not monotone:
             # non-monotone: stale IDB facts derived under negation/aggregates
@@ -652,10 +699,14 @@ class SemiNaiveEngine:
                 for pm in parts:
                     for hp, d in pm.items():
                         merged_map[hp] = merged_map[hp].unionByName(d) if hp in merged_map else d
+                # one shared body evaluation: split its wall across the head
+                # predicates (adding the FULL wall per head double-counted
+                # multi-head rules in report()'s totals)
+                wall = (time.time() - t0) / len(merged_map)
                 for hp, derived in merged_map.items():
                     per_pred[hp] = per_pred[hp].unionByName(derived) if hp in per_pred else derived
                     per_pred_rules.setdefault(hp, []).append(_rule_label(rule, stratum_idx, ri))
-                    t_eval[hp] = t_eval.get(hp, 0.0) + (time.time() - t0)
+                    t_eval[hp] = t_eval.get(hp, 0.0) + wall
             next_delta: dict[str, DataFrame] = {}
             next_counts: dict[str, int] = {}
             # merges of distinct predicates are independent: run them as
@@ -702,6 +753,14 @@ class SemiNaiveEngine:
                 for p in idb:
                     if p in self._tables and p not in self._history_tables:
                         self._tables[p] = self._checkpoint(p, self._tables[p], round_idx)
+        if new_any:
+            # deltas still pending at the round cap: the tables hold a strict
+            # SUBSET of the model — fail loudly (the reference always runs to
+            # fixpoint; a silent partial result is wrong answers)
+            raise RuntimeError(
+                f"fixpoint did not converge within max_rounds={self.max_rounds} "
+                f"(stratum {stratum_idx}); raise SemiNaiveEngine(max_rounds=...)"
+            )
 
     def _try_local_stratum(self, stratum_idx: int, rules: list[Rule]) -> bool:
         """Size-adaptive local fixpoint (see local_stratum_threshold)."""
@@ -994,7 +1053,7 @@ class SemiNaiveEngine:
                 }
             )
             salt_cols = [F.col(v) for v in frontier] or [F.lit(0)]
-            label = rule.name or rule.head.pred
+            label = self._label_of.get(id(rule)) or rule.name or rule.head.pred
             # typed-null detection: a constant-only body binds NO columns, so
             # probe the body's source tables too (a typed program must mint
             # typed Nulls even when the witness frame carries no variables)

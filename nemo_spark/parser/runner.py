@@ -334,6 +334,11 @@ class RlsRunner:
     # ------------------------------------------------------------------ run
 
     def run(self) -> "RlsRunner":
+        if self._ran:
+            # idempotent, like repeated NemoEngine.reason(): the fixpoint is
+            # already materialized; a second import pass would re-register
+            # tables (rejected for deferred predicates) for no new facts
+            return self
         with _interpreted_expressions(self.spark):
             arities = dict(self.compiled.program.predicates())
             for pred, rows in self.compiled.fact_rows.items():
@@ -490,18 +495,22 @@ class RlsRunner:
         across the 83-program blackbox suite and is the parity-tested
         serializer. Materialized inside the interpreted-expression scope
         because callers collect outside it."""
-        df = self.table(pred)
+        ser = self._dsv_frame(self.table(pred), pred)
+        with _interpreted_expressions(self.spark):
+            return ser.localCheckpoint(eager=True)
+
+    def _dsv_frame(self, df: DataFrame, pred: str) -> DataFrame:
+        """ONE DSV serializer for every surface (serialized(), write_exports,
+        the bindings' write_result): Arrow-batched Value.dsv_any over
+        flattened value fields; 0-arity predicates serialize as a single
+        empty-string column per truth row (the unit filler column is an
+        implementation detail, zero.rs parity)."""
         if pred in self.compiled.nullary:
-            # 0-arity predicate: serialize as a single empty-string column
-            # per truth row (the unit filler column is an implementation
-            # detail, zero.rs parity)
             return df.limit(1).select(F.lit("").alias("c0"))
-        ser = _flatten_values(df).mapInPandas(
+        return _flatten_values(df).mapInPandas(
             _serialize_batches(df.columns),
             schema=", ".join(f"{c} string" for c in df.columns),
         )
-        with _interpreted_expressions(self.spark):
-            return ser.localCheckpoint(eager=True)
 
     def serialize_export(self, df: DataFrame, exp) -> tuple[DataFrame, str, dict]:
         """(serialized frame, writer format ``'text'``/``'csv'``, writer
@@ -523,17 +532,7 @@ class RlsRunner:
                 if "delimiter" in exp.options
                 else ","
             )
-            # ONE serializer for both surfaces: the same Arrow-batched
-            # Value.dsv_any pass as serialized() (parity-tested against
-            # every reference golden; also handles nullary predicates,
-            # whose unit column is a plain string)
-            if exp.pred in self.compiled.nullary:
-                ser = df.limit(1).select(F.lit("").alias("c0"))
-            else:
-                ser = _flatten_values(df).mapInPandas(
-                    _serialize_batches(df.columns),
-                    schema=", ".join(f"{c} string" for c in df.columns),
-                )
+            ser = self._dsv_frame(df, exp.pred)
             # escape = quote char: standard CSV quote-doubling, matching
             # the reference's csv crate double_quote(true) writer
             # (dsv/writer.rs:42-44); Spark's default backslash-escape

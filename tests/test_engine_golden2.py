@@ -707,3 +707,86 @@ def test_local_sum_matches_distributed_on_mixed_types(spark):
     # group a: string ignored, sum=1; group b: inf -> dropped; c: 2.5
     names = {t[0] for t in results[0]}
     assert names == {"a", "c"}
+
+
+def test_skolem_labels_distinct_per_rule(spark):
+    """Two UNNAMED existential rules with the same head predicate must mint
+    DISTINCT labeled nulls per rule (the reference skolemizes per rule);
+    labeling by head predicate alone conflated their witnesses."""
+    from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var
+    from nemo_spark.model.rules import EVar
+
+    X, V = Var("X"), EVar("V")
+    prog = Program(
+        rules=[
+            Rule(Atom("p", X, V), [Atom("a", X)]),
+            Rule(Atom("p", X, V), [Atom("b", X)]),
+        ]
+    )
+    eng = SemiNaiveEngine(spark, chase="skolem", local_stratum_threshold=0)
+    eng.register("a", spark.createDataFrame([(1,)], "x long"))
+    eng.register("b", spark.createDataFrame([(1,)], "x long"))
+    eng.run(prog)
+    rows = eng.table("p").collect()
+    assert len(rows) == 2 and len({r.c1 for r in rows}) == 2, rows
+
+
+def test_fixpoint_round_cap_is_loud(spark):
+    """Hitting max_rounds with deltas pending must raise, not silently
+    return a strict subset of the model."""
+    import pytest as _pytest
+
+    from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var
+
+    X, Y, Z = Var("X"), Var("Y"), Var("Z")
+    prog = Program(
+        rules=[
+            Rule(Atom("tc", X, Y), [Atom("e", X, Y)]),
+            Rule(Atom("tc", X, Z), [Atom("tc", X, Y), Atom("e", Y, Z)]),
+        ]
+    )
+    eng = SemiNaiveEngine(spark, max_rounds=2, local_stratum_threshold=0)
+    eng.register("e", spark.createDataFrame([(i, i + 1) for i in range(8)], "a long, b long"))
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        eng.run(prog)
+
+
+def test_extend_drops_null_cells(spark):
+    """Injected facts with SQL-NULL cells are outside the fact domain and
+    would re-fire as 'fresh' on every bucketed-history merge (plain-key
+    anti-joins never match NULL); extend() filters them."""
+    from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var
+
+    X = Var("X")
+    prog = Program(rules=[Rule(Atom("q", X), [Atom("p", X)])])
+    eng = SemiNaiveEngine(spark)
+    eng.register("p", spark.createDataFrame([(1,)], "x long"))
+    eng.run(prog)
+    eng.extend(prog, {"p": spark.createDataFrame([(2,), (None,)], "x long")})
+    got = {r.c0 for r in eng.table("q").collect()}
+    assert got == {1, 2}
+
+
+def test_constraint_propagation_restored_on_close(spark):
+    from nemo_spark.engine.seminaive import _CP_KEY, SemiNaiveEngine
+
+    before = spark.conf.get(_CP_KEY)
+    e1 = SemiNaiveEngine(spark)
+    e2 = SemiNaiveEngine(spark)
+    assert spark.conf.get(_CP_KEY) == "false"
+    e1.close()
+    # refcounted: e2 still needs it disabled
+    assert spark.conf.get(_CP_KEY) == "false"
+    e1.close()  # idempotent double-close releases only once
+    assert spark.conf.get(_CP_KEY) == "false"
+    e2.close()
+    assert spark.conf.get(_CP_KEY) == before
+
+
+def test_runner_run_is_idempotent(spark):
+    from nemo_spark.parser.runner import RlsRunner
+
+    with RlsRunner(spark, source="p(1) . q(?x) :- p(?x) . @output q .") as r:
+        r.run()
+        r.run()  # no-op, not a deferred/register error
+        assert r.table("q").count() == 1
