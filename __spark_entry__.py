@@ -394,21 +394,21 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    # md5-derived SimHash: bit-portable to DuckDB (oracle-checked); the
-    # xxhash64 variant (simhash64) remains as the pure-Spark fast path
-    from nemo_spark.ops.dedup import simhash_hex
-
-    return simhash_hex(_t(spark, sf, "documents"))
-
-
-def q_dedup_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     """Hamming<=3 SimHash near-dup pairs via pigeonhole banding (the scale
     path: (band, bits) equi-join, never all-pairs; exact bit_count(xor)
-    verify). The md5/hex variant so DuckDB replicates it bit-exactly; the
-    oracle compares all pairs (correctness reference, not the 100-TB plan)."""
+    verify), emitting BOTH endpoints' md5-derived hex signatures so one
+    driver row attests signature values and pair semantics together.
+
+    Consolidated from the former dedup_simhash + dedup_simhash_hamming pair
+    in round 6: the driver sweep attests at most 50 queries, and the
+    signatures ride the band join for free (include_signatures=True), so the
+    merged row loses nothing — DuckDB recomputes signatures from scratch and
+    compares all pairs (correctness reference, not the 100-TB plan)."""
     from nemo_spark.ops.dedup import simhash_hex_hamming_candidates
 
-    return simhash_hex_hamming_candidates(_t(spark, sf, "documents"), max_hamming=3)
+    return simhash_hex_hamming_candidates(
+        _t(spark, sf, "documents"), max_hamming=3, include_signatures=True
+    )
 
 
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -878,7 +878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_verify": q_dedup_jaccard_verify,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "text_fingerprint": q_text_fingerprint,
         "knn_cosine": q_knn_cosine,
         "knn_bucketed": q_knn_bucketed,
@@ -1033,8 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": _DEDUP_LSH_PAIRS_SQL,
         "dedup_jaccard_verify": _DEDUP_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
-        "dedup_simhash": _simhash_sql(),
-        "dedup_simhash_hamming": _simhash_hamming_sql(),
+        "dedup_simhash": _simhash_hamming_sql(),
         "rls_datalog": """
             WITH p(x, y) AS (VALUES ('a', 1), ('b', 2), ('c', 3), ('c', 30)),
                  q(x) AS (VALUES ('b'))
@@ -1125,16 +1123,10 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _simhash_sql() -> str:
-    from nemo_spark.ops.dedup import simhash_hex_oracle_sql
-
-    return simhash_hex_oracle_sql()
-
-
 def _simhash_hamming_sql() -> str:
     from nemo_spark.ops.dedup import simhash_hex_hamming_oracle_sql
 
-    return simhash_hex_hamming_oracle_sql(max_hamming=3)
+    return simhash_hex_hamming_oracle_sql(max_hamming=3, include_signatures=True)
 
 
 def _near_dups_sql(threshold: float, dim: int, n_bands: int = 8, band_planes: int = 4) -> str:

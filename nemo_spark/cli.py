@@ -13,8 +13,10 @@ reference errors on multiple, main.rs MultipleFilesNotImplemented),
 ``-e/--export keep|none|idb|edb|all``, ``-D/--export-dir`` (default
 ``results``), ``-o/--overwrite-results``, ``-g/--gzip``, ``--print-facts``,
 ``-I/--import-dir``, ``--param key=value`` (repeatable), ``--report``,
-``--trace``/``--trace-output``, ``-q``/``-v``. Spark-specific extension:
-``--master`` (defaults to ``local[*]``)."""
+``--trace``/``--trace-input-file``/``--trace-all-idb-facts`` (mutually
+exclusive, cli.rs group "trace-input") with ``--trace-output``, and the
+``-q``/``-v``/``--log error|warn|info|debug|trace`` verbosity group.
+Spark-specific extension: ``--master`` (defaults to ``local[*]``)."""
 
 from __future__ import annotations
 
@@ -60,10 +62,26 @@ def build_parser() -> argparse.ArgumentParser:
         "--report", choices=["none", "auto", "short", "time", "mem", "all"], default="auto",
         help="reporting: auto prints the short summary unless facts/traces were printed",
     )
-    p.add_argument("--trace", help='facts to trace, separated by ";", e.g. "P(a,b);Q(c)"')
+    trace_in = p.add_mutually_exclusive_group()  # cli.rs group "trace-input"
+    trace_in.add_argument(
+        "--trace", help='facts to trace, separated by ";", e.g. "P(a,b);Q(c)"'
+    )
+    trace_in.add_argument(
+        "--trace-input-file", action="append", default=[], metavar="FILE",
+        help='file(s) of facts to trace, same ";"-separated format as --trace (repeatable)',
+    )
+    trace_in.add_argument(
+        "--trace-all-idb-facts", action="store_true",
+        help="trace every derived fact of every IDB predicate",
+    )
     p.add_argument("--trace-output", help="write traces to FILE (.graphml or .json by extension)")
-    p.add_argument("-q", "--quiet", action="store_true")
-    p.add_argument("-v", "--verbose", action="count", default=0)
+    verbosity = p.add_mutually_exclusive_group()  # cli.rs group "verbosity"
+    verbosity.add_argument("-q", "--quiet", action="store_true")
+    verbosity.add_argument("-v", "--verbose", action="count", default=0)
+    verbosity.add_argument(
+        "--log", choices=["error", "warn", "info", "debug", "trace"], default=None,
+        help='set log verbosity (default "warn")',
+    )
     p.add_argument("--no-warnings", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--master", default=None, help="Spark master (default local[*])")
     return p
@@ -97,8 +115,20 @@ def main(argv: list[str] | None = None) -> int:
     from nemo_spark.parser.runner import RlsRunner, sanitize_pred
     from nemo_spark.session import get_spark
 
+    if args.trace_output and not (args.trace or args.trace_input_file or args.trace_all_idb_facts):
+        # cli.rs: --trace-output requires a trace input
+        print("error: --trace-output requires --trace/--trace-input-file/--trace-all-idb-facts",
+              file=sys.stderr)
+        return 2
+
     spark = get_spark(app_name="nemo_spark_cli", master=args.master)
-    level = "ERROR" if args.quiet else ["WARN", "INFO", "DEBUG"][min(args.verbose, 2)]
+    if args.log is not None:
+        # --log error|warn|info|debug|trace (cli.rs:88); grouped exclusive
+        # with -q/-v like the reference's clap "verbosity" group
+        level = {"error": "ERROR", "warn": "WARN", "info": "INFO",
+                 "debug": "DEBUG", "trace": "TRACE"}[args.log]
+    else:
+        level = "ERROR" if args.quiet else ["WARN", "INFO", "DEBUG"][min(args.verbose, 2)]
     spark.sparkContext.setLogLevel(level)
 
     printed_something = False
@@ -109,14 +139,15 @@ def main(argv: list[str] | None = None) -> int:
             rls_path=rls_path,
             workdir=args.import_dir,
             params=dict(args.param),
-            trace=bool(args.trace),
+            trace=bool(args.trace or args.trace_input_file or args.trace_all_idb_facts),
         ).run()
         reasoning_ms = int((time.time() - t0) * 1000)
 
         t_exp = time.time()
         saved = False
+        default_compression = "gzip" if args.gzip else None
         if args.export == "keep":
-            targets = list(runner.export_frames())
+            targets = runner.export_target_names(default_compression)
             if targets:
                 if not args.overwrite_results:
                     clash = [
@@ -129,7 +160,9 @@ def main(argv: list[str] | None = None) -> int:
                             file=sys.stderr,
                         )
                         return 1
-                runner.write_exports(args.export_dir)
+                # -g = ExportManager default compression (cli.rs:136-139):
+                # gzips @export directives that don't specify their own
+                runner.write_exports(args.export_dir, default_compression)
                 saved = True
         elif args.export != "none":
             os.makedirs(args.export_dir, exist_ok=True)
@@ -175,36 +208,53 @@ def main(argv: list[str] | None = None) -> int:
                     printed_something = True
 
         trace_failed = False
-        if args.trace:
-            trees = []
-            for fact in args.trace.split(";"):
-                fact = fact.strip()
-                if not fact:
-                    continue
-                tree = runner.trace(fact)
+        trace_trees = []
+        if args.trace_all_idb_facts:
+            # tracing.rs:45-69: enumerate every non-empty IDB predicate and
+            # trace each of its facts
+            for _pred, _vals, tree in runner.trace_all_idb():
                 if tree is None:
-                    print(f"{fact}: fact not derived", file=sys.stderr)
-                    trace_failed = True  # exit nonzero: scripts must see it
-                    continue
-                trees.append(tree)
+                    continue  # derived facts always have trees; belt+braces
+                trace_trees.append(tree)
                 if not args.trace_output:
                     print(runner.engine.format_trace(tree), end="")
                     printed_something = True
-            if args.trace_output and trees:
-                from nemo_spark.engine.trace_export import (
-                    trace_graphml,
-                    trace_inferences_json,
-                )
+        elif args.trace or args.trace_input_file:
+            fact_specs = [args.trace] if args.trace else []
+            for path in args.trace_input_file:
+                # tracing.rs:20-24: file contents use the same ";"-separated
+                # fact format as --trace
+                with open(path) as f:
+                    fact_specs.append(f.read())
+            for spec in fact_specs:
+                for fact in spec.split(";"):
+                    fact = fact.strip()
+                    if not fact:
+                        continue
+                    tree = runner.trace(fact)
+                    if tree is None:
+                        print(f"{fact}: fact not derived", file=sys.stderr)
+                        trace_failed = True  # exit nonzero: scripts must see it
+                        continue
+                    trace_trees.append(tree)
+                    if not args.trace_output:
+                        print(runner.engine.format_trace(tree), end="")
+                        printed_something = True
+        if args.trace_output and trace_trees:
+            from nemo_spark.engine.trace_export import (
+                trace_graphml,
+                trace_inferences_json,
+            )
 
-                rules_by_label = getattr(runner.engine, "_rules_by_label", None)
-                if args.trace_output.endswith(".json"):
-                    body = trace_inferences_json(trees, rules_by_label)
-                else:
-                    # one merged <graphml> document — per-tree documents
-                    # concatenated would be non-well-formed XML
-                    body = trace_graphml(trees, rules_by_label)
-                with open(args.trace_output, "w") as f:
-                    f.write(body)
+            rules_by_label = getattr(runner.engine, "_rules_by_label", None)
+            if args.trace_output.endswith(".json"):
+                body = trace_inferences_json(trace_trees, rules_by_label)
+            else:
+                # one merged <graphml> document — per-tree documents
+                # concatenated would be non-well-formed XML
+                body = trace_graphml(trace_trees, rules_by_label)
+            with open(args.trace_output, "w") as f:
+                f.write(body)
 
         want_report = args.report not in ("none",) and not (
             args.report == "auto" and printed_something

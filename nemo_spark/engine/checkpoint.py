@@ -117,18 +117,25 @@ class CheckpointStore:
 
     def lineage(self) -> DataFrame:
         path = os.path.join(self.root, "_lineage")
-        subdirs = [
-            os.path.join(path, d)
-            for d in sorted(os.listdir(path))
-            if os.path.isdir(os.path.join(path, d))
+        entries = sorted(os.listdir(path)) if os.path.isdir(path) else []
+        sources = [
+            os.path.join(path, d) for d in entries if os.path.isdir(os.path.join(path, d))
         ]
-        if not subdirs:
+        # pre-r5 stores appended flat part-*.parquet directly into _lineage/;
+        # those rows must keep appearing after the per-(name,step) layout
+        # change — read them alongside the subdirectories
+        sources += [
+            os.path.join(path, f)
+            for f in entries
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        if not sources:
             # fresh store: no lineage rows yet (read.parquet on an empty
             # directory raises instead of returning an empty frame)
             return self.spark.createDataFrame(
                 [], "name string, step int, partition_id int, rows long"
             )
-        return self.spark.read.parquet(*subdirs)
+        return self.spark.read.parquet(*sources)
 
     def _lineage_path(self, name: str, step: int) -> str:
         return os.path.join(self.root, "_lineage", f"{_safe_name(name)}__{step:06d}")

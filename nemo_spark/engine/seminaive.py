@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import logging
 import time
+import weakref
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -49,23 +50,38 @@ _AGG_FN = {"min": F.min, "max": F.max, "sum": F.sum, "count": F.count}
 
 
 _CP_KEY = "spark.sql.constraintPropagation.enabled"
-_CP_STATE = {"count": 0, "saved": None}
+# Per-SESSION refcount/saved-value: spark.sql.constraintPropagation.enabled is
+# a per-session SQLConf, so a second engine built on spark.newSession() (its
+# own conf) must be disabled independently, and each session's last close()
+# must restore the value saved from THAT session. Weak keys so a dropped
+# session never pins its entry (or blocks a recycled id) after GC.
+_CP_STATE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _cp_disable(spark) -> None:
-    if _CP_STATE["count"] == 0:
+    st = _CP_STATE.get(spark)
+    if st is None:
         try:
-            _CP_STATE["saved"] = spark.conf.get(_CP_KEY)
+            saved = spark.conf.get(_CP_KEY)
         except Exception:
-            _CP_STATE["saved"] = None
+            saved = None
         spark.conf.set(_CP_KEY, "false")
-    _CP_STATE["count"] += 1
+        st = _CP_STATE[spark] = {"count": 0, "saved": saved}
+    st["count"] += 1
 
 
 def _cp_restore(spark) -> None:
-    _CP_STATE["count"] = max(_CP_STATE["count"] - 1, 0)
-    if _CP_STATE["count"] == 0 and _CP_STATE["saved"] is not None:
-        spark.conf.set(_CP_KEY, _CP_STATE["saved"])
+    st = _CP_STATE.get(spark)
+    if st is None:
+        return
+    st["count"] -= 1
+    if st["count"] <= 0:
+        del _CP_STATE[spark]
+        if st["saved"] is not None:
+            try:
+                spark.conf.set(_CP_KEY, st["saved"])
+            except Exception:
+                pass  # session already stopped
 
 
 def _cols(n: int) -> list[str]:

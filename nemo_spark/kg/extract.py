@@ -125,6 +125,22 @@ TURN_FEATURES_SCHEMA = (
     "lang string, fp long"
 )
 
+def _with_fp(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, text, fp): the turn-content fingerprint computed
+    BEFORE the Arrow boundary. xxhash64 runs inside whole-stage codegen (JVM,
+    GB/s per core) and the 8-byte result rides the batch through Python
+    untouched; hashing inside the Python stage (the pre-r6
+    ``pd.util.hash_array`` path) had to materialize every text as a PyObject
+    — the stage's biggest memory-bus segment, and the bus is exactly what
+    caps single-box core scaling. null text = empty turn, so fp(null) ==
+    fp("") per the shared extractor contract."""
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+    )
+
 _STOPWORD_RE = re.compile(r"\b(?:the|a|of|and|to|in|is|it|for|on)\b")
 _MENTION_ONLY_RE = re.compile(r"(?:entity_|ent-|E\.)\d+")
 # tiny language-ID: per-language function-word densities (heuristic n-gram
@@ -174,8 +190,11 @@ def extract_turn_features_pandas(transcripts: DataFrame) -> DataFrame:
             langs = np.asarray(list(_LANG_RES))
             best = scores.argmax(axis=0)
             out["lang"] = np.where(scores.max(axis=0) > 0, langs[best], "unk")
-            # 64-bit content fingerprint for turn-level exact dedup
-            out["fp"] = pd.util.hash_array(t.to_numpy(dtype=object)).astype("int64")
+            # 64-bit content fingerprint for turn-level exact dedup —
+            # computed JVM-side (xxhash64 in whole-stage codegen) and
+            # forwarded: hashing inside Python materialized every text as a
+            # PyObject, the single biggest memory-bus segment of the stage
+            out["fp"] = pdf["fp"]
             # EVERY turn keeps its feature row — turns without a relation
             # sentence carry null triple columns. Dropping them here would
             # silently lose the quality/langid/dedup-fingerprint features of
@@ -184,8 +203,7 @@ def extract_turn_features_pandas(transcripts: DataFrame) -> DataFrame:
             # relation per turn, which is how this masked as harmless)
             yield out
 
-    cols = transcripts.select("conv_id", "turn_idx", "text")
-    return cols.mapInPandas(extract, schema=TURN_FEATURES_SCHEMA)
+    return _with_fp(transcripts).mapInPandas(extract, schema=TURN_FEATURES_SCHEMA)
 
 
 def extract_turn_features_arrow(transcripts: DataFrame) -> DataFrame:
@@ -199,9 +217,9 @@ def extract_turn_features_arrow(transcripts: DataFrame) -> DataFrame:
     regex executes in RE2 through ``pyarrow.compute`` C++ kernels
     (``extract_regex`` / ``count_substring_regex``) with no per-row Python
     and no GIL contention — the patterns use only RE2-safe constructs
-    (alternation, ``\\d``, ``\\b``). The content fingerprint stays
-    ``pd.util.hash_array`` (one vectorized pass) so the two extractors are
-    drop-in interchangeable."""
+    (alternation, ``\\d``, ``\\b``). The content fingerprint is computed
+    JVM-side and forwarded (:func:`_with_fp`) so both extractors stay
+    drop-in interchangeable with zero Python-object materialization."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -237,9 +255,6 @@ def extract_turn_features_arrow(transcripts: DataFrame) -> DataFrame:
             lang = pa.array(["unk"] * len(t))
             for (name, _), c in zip(reversed(langs), reversed(counts)):
                 lang = pc.if_else(pc.and_(pc.equal(c, best), pc.greater(best, 0)), name, lang)
-            fp = pa.array(
-                pd.util.hash_array(t.to_pandas().to_numpy(dtype=object)).astype("int64")
-            )
             null_str = pa.scalar(None, pa.string())
             tbl = pa.table(
                 {
@@ -253,13 +268,12 @@ def extract_turn_features_arrow(transcripts: DataFrame) -> DataFrame:
                     "n_stopwords": pc.cast(n_stop, pa.int32()),
                     "quality": quality,
                     "lang": lang,
-                    "fp": fp,
+                    "fp": batch.column("fp"),  # JVM xxhash64, see _with_fp
                 }
             )
             yield from tbl.to_batches()
 
-    cols = transcripts.select("conv_id", "turn_idx", "text")
-    return cols.mapInArrow(extract, schema=TURN_FEATURES_SCHEMA)
+    return _with_fp(transcripts).mapInArrow(extract, schema=TURN_FEATURES_SCHEMA)
 
 
 REDUCED_TRIPLES_SCHEMA = "subj_alias string, pred string, obj_alias string, n long"

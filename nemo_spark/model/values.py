@@ -186,6 +186,21 @@ class Value:
     def as_row(self) -> tuple[int, int, float, str]:
         return (self.t, self.i, self.d, self.s)
 
+    @staticmethod
+    def from_cell(c) -> "Value":
+        """Normalize a stored-table cell: engine tables carry pyspark
+        ``Row(t, i, d, s)`` structs; constants are already :class:`Value`.
+        Explicit None checks — ``c.d or 0.0`` would coerce IEEE -0.0 (falsy)
+        to +0.0, which prints as "0.0" instead of "-0.0"."""
+        if isinstance(c, Value):
+            return c
+        return Value(
+            int(c.t),
+            0 if c.i is None else int(c.i),
+            0.0 if c.d is None else float(c.d),
+            c.s or "",
+        )
+
     # ---------------------------------------------------------- serialization
 
     def datatype_iri(self) -> str | None:

@@ -321,6 +321,7 @@ def simhash_hex_hamming_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    include_signatures: bool = False,
 ) -> DataFrame:
     """Hamming-banded near-dup pairs over the md5-derived hex signature
     (:func:`simhash_hex`) — identical semantics to
@@ -328,7 +329,12 @@ def simhash_hex_hamming_candidates(
     oracle can replicate it bit-exactly
     (:func:`simhash_hex_hamming_oracle_sql`). Bands are substrings of the
     16-nibble hex signature (pigeonhole over nibble groups); the exact
-    per-nibble popcount(xor) filter keeps true <= d pairs."""
+    per-nibble popcount(xor) filter keeps true <= d pairs.
+
+    ``include_signatures=True`` additionally emits both endpoints' hex
+    signatures (sig_a, sig_b) — they already flow through the band join, so
+    this is free and lets one oracle row attest signature values AND pair
+    semantics together."""
     nb = max_hamming + 1
     if nb > 16:
         raise ValueError("max_hamming must be < 16 for the hex variant")
@@ -353,10 +359,13 @@ def simhash_hex_hamming_candidates(
     for j in range(16):
         h = F.bit_count(_hex_nibble(F.col("__sa"), j).bitwiseXOR(_hex_nibble(F.col("__sb"), j)))
         ham = h if ham is None else (ham + h)
+    sig_cols = (
+        [F.col("__sa").alias("sig_a"), F.col("__sb").alias("sig_b")] if include_signatures else []
+    )
     return (
         a.join(b, on=["bi", "bv"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", ham.cast("int").alias("hamming"))
+        .select("a", "b", *sig_cols, ham.cast("int").alias("hamming"))
         .dropDuplicates(["a", "b"])
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -367,6 +376,7 @@ def simhash_hex_hamming_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    include_signatures: bool = False,
 ) -> str:
     """DuckDB SQL replicating :func:`simhash_hex_hamming_candidates` exactly:
     same md5-nibble signatures (via :func:`simhash_hex_oracle_sql`), same
@@ -383,9 +393,10 @@ def simhash_hex_hamming_oracle_sql(
         nbv = nib.format(s="sb.simhash", p=j + 1)
         terms.append(f"bit_count(CAST(xor({na}, {nbv}) AS BIGINT))")
     ham = " + ".join(terms)
+    sig_sel = ", sa.simhash AS sig_a, sb.simhash AS sig_b" if include_signatures else ""
     return f"""
 WITH sigs AS ({sig})
-SELECT sa.{id_col} AS a, sb.{id_col} AS b, CAST(({ham}) AS INTEGER) AS hamming
+SELECT sa.{id_col} AS a, sb.{id_col} AS b{sig_sel}, CAST(({ham}) AS INTEGER) AS hamming
 FROM sigs sa JOIN sigs sb ON sa.{id_col} < sb.{id_col}
 WHERE ({ham}) <= {max_hamming}
 """

@@ -426,6 +426,25 @@ class RlsRunner:
         vals = tuple(ge.eval(t) for t in fatom.terms)
         return self.engine.trace_tree(view.pred(fatom.pred), vals)
 
+    def trace_all_idb(self) -> "list[tuple[str, tuple, dict | None]]":
+        """Trace EVERY derived fact of every non-empty IDB predicate
+        (``nmo --trace-all-idb-facts``, nemo-cli/src/tracing.rs:45-69: the
+        reference enumerates chase_program().derived_predicates() with
+        in-memory fact count > 0 and traces each fact). Returns
+        ``(pred, values, tree)`` triples; requires ``trace=True``."""
+        from nemo_spark.model.values import Value
+
+        out = []
+        for pred in sorted(self.compiled.program.idb_predicates()):
+            if pred in self.compiled.nullary:
+                if not self.table(pred).isEmpty():
+                    out.append((pred, (), self.engine.trace_tree(pred, ())))
+                continue
+            for row in self.table(pred).collect():
+                vals = tuple(Value.from_cell(c) for c in row)
+                out.append((pred, vals, self.engine.trace_tree(pred, vals)))
+        return out
+
     def report(self) -> dict:
         """Structured per-rule reasoning report (``nmo --report`` parity:
         nemo-cli/src/main.rs:75-94,136 prints the TimedCode tree whose
@@ -512,13 +531,30 @@ class RlsRunner:
             schema=", ".join(f"{c} string" for c in df.columns),
         )
 
-    def serialize_export(self, df: DataFrame, exp) -> tuple[DataFrame, str, dict]:
+    def _export_compression(self, exp) -> str:
+        """Effective compression of one @export: explicit ``compression=``
+        wins; otherwise a resource name ending in ``.gz`` implies gzip (the
+        reference's ResourceBuilder infers the format from the extension)."""
+        if "compression" in exp.options:
+            return self._compression(exp)
+        r = self._option_value(exp, "resource")
+        if r is not None and r.lexical().endswith(".gz"):
+            return "gzip"
+        return "none"
+
+    def serialize_export(
+        self, df: DataFrame, exp, default_compression: str | None = None
+    ) -> tuple[DataFrame, str, dict]:
         """(serialized frame, writer format ``'text'``/``'csv'``, writer
         options) for ONE @export — the single source of truth that both
         :meth:`write_exports` and the Python bindings' ``write_result``
         drive, so limit/delimiter/compression semantics can't drift.
         Must run (and the returned frame be written) inside an
-        ``_interpreted_expressions`` scope."""
+        ``_interpreted_expressions`` scope.
+
+        ``default_compression='gzip'`` is the CLI ``-g`` (ExportManager
+        default, cli.rs:136-139): applied only when the directive specifies
+        no compression of its own (explicit or via a ``.gz`` resource)."""
         if exp.fmt in _RDF_FMTS:
             from nemo_spark.sources.rdf_typed import serialize_rdf_typed
 
@@ -538,18 +574,36 @@ class RlsRunner:
             # (dsv/writer.rs:42-44); Spark's default backslash-escape
             # would diverge on cells containing quotes
             kind, opts = "csv", {"sep": sep, "escape": '"'}
-        if self._compression(exp) == "gzip":
+        if self._export_compression(exp) == "gzip":
+            opts["compression"] = "gzip"
+        elif default_compression == "gzip":
             opts["compression"] = "gzip"
         return ser, kind, opts
 
-    def write_exports(self, out_dir: str) -> None:
+    def export_target_names(self, default_compression: str | None = None) -> list[str]:
+        """Final on-disk names :meth:`write_exports` will produce (including
+        any ``.gz`` the default compression appends) — for pre-write clash
+        checks."""
+        names = []
+        for name, (_df, exp) in self.export_frames().items():
+            if default_compression == "gzip" and self._export_compression(exp) != "gzip":
+                name = name + ".gz"
+            names.append(name)
+        return names
+
+    def write_exports(self, out_dir: str, default_compression: str | None = None) -> None:
         os.makedirs(out_dir, exist_ok=True)
         with _interpreted_expressions(self.spark):
             for name, (df, exp) in self.export_frames().items():
-                ser, kind, opts = self.serialize_export(df, exp)
+                ser, kind, opts = self.serialize_export(df, exp, default_compression)
                 w = ser.write.mode("overwrite")
                 for k, v in opts.items():
                     w = w.option(k, v)
+                if default_compression == "gzip" and self._export_compression(exp) != "gzip":
+                    # ExportManager::sanitized_path appends the compression
+                    # extension exactly when the directive itself wasn't
+                    # already compressed (export_manager.rs:114)
+                    name = name + ".gz"
                 target = os.path.join(out_dir, name)
                 if kind == "text":
                     w.text(target)

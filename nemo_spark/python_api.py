@@ -30,6 +30,7 @@ Parity notes (each mirrors a lib.rs behavior):
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import shutil
@@ -56,6 +57,8 @@ from nemo_spark.model.values import (
 )
 
 XSD_STRING = XSD + "string"
+
+log = logging.getLogger("nemo_spark.python_api")
 
 _NAME_RE = re.compile(r"[A-Za-z][A-Za-z0-9_%]*\Z")  # IriDataValue::is_name
 
@@ -171,6 +174,60 @@ class NemoLiteral:
         return f"{quote_string(self._value)}^^{quote_iri(self._datatype)}"
 
 
+class NemoTuple(tuple):
+    """A nemo tuple / function term as a Python tuple (beyond-reference:
+    lib.rs:193-194 ``todo!()``s this conversion). Function-term labels (IRI
+    strings) ride on ``.label`` and participate in equality — ``f(1,2)`` and
+    ``g(1,2)`` are different nemo values. Unlabeled tuples compare equal to
+    plain Python tuples."""
+
+    def __new__(cls, iterable=(), label=None):
+        self = super().__new__(cls, iterable)
+        self.label = label
+        return self
+
+    def __eq__(self, other):
+        if not isinstance(other, tuple):
+            return NotImplemented
+        if not tuple.__eq__(self, other):
+            return False
+        return self.label == getattr(other, "label", None)
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    def __hash__(self) -> int:
+        return hash((self.label, tuple(self)))
+
+    def __repr__(self) -> str:
+        head = "" if self.label is None else str(self.label)
+        return head + "(" + ", ".join(repr(e) for e in self) + ")"
+
+
+class NemoMap(dict):
+    """A nemo ordered map as a Python dict (insertion order = nemo's
+    key-sorted BTreeMap order). The optional map label rides on ``.label``
+    and participates in equality."""
+
+    label = None
+
+    def __eq__(self, other):
+        if not isinstance(other, dict):
+            return NotImplemented
+        return dict.__eq__(self, other) and self.label == getattr(other, "label", None)
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    __hash__ = None  # dicts are unhashable; so are nemo maps used as keys here
+
+    def __repr__(self) -> str:
+        head = "" if self.label is None else str(self.label)
+        return head + "{" + ", ".join(f"{k!r} = {v!r}" for k, v in self.items()) + "}"
+
+
 class NemoResults:
     """Iterator over converted result rows (lib.rs:316-333)."""
 
@@ -185,19 +242,8 @@ class NemoResults:
 
 
 def _as_value(v) -> Value:
-    """Normalize a trace-witness cell: the engine's trace trees carry plain
-    pyspark ``Row(t, i, d, s)`` structs for values reconstructed from stored
-    tables; rule-constant terms are already :class:`Value`."""
-    if isinstance(v, Value):
-        return v
-    # explicit None checks: ``v.d or 0.0`` would coerce IEEE -0.0 (falsy)
-    # to +0.0, which prints as "0.0" instead of "-0.0"
-    return Value(
-        int(v.t),
-        0 if v.i is None else int(v.i),
-        0.0 if v.d is None else float(v.d),
-        v.s or "",
-    )
+    """Normalize a trace-witness cell (see :meth:`Value.from_cell`)."""
+    return Value.from_cell(v)
 
 
 def _display(v: Value) -> str:
@@ -381,8 +427,23 @@ class NemoEngine:
         if v.t == T_NULL:
             n = self._null_ids.setdefault(v.s, len(self._null_ids))
             return f"_:{n}"
-        if v.t in (T_TUPLE, T_MAP):
-            raise NotImplementedError("tuples are not supported yet")
+        if v.t == T_TUPLE:
+            # beyond the reference: lib.rs:193-194 todo!()s tuple conversion,
+            # but the value model is complete here — convert to a Python
+            # tuple (function-term labels ride on .label)
+            label, elems = v.structured_parts()
+            return NemoTuple(
+                (self._to_python(e) for e in elems),
+                label=None if label is None else self._to_python(label),
+            )
+        if v.t == T_MAP:
+            label, pairs = v.structured_parts()
+            try:
+                m = NemoMap((self._to_python(k), self._to_python(val)) for k, val in pairs)
+            except TypeError as err:  # nested-map key: dicts can't key a dict
+                raise NemoError(f"map key not convertible to Python: {err}") from err
+            m.label = None if label is None else self._to_python(label)
+            return m
         # UnsignedLong / Other -> typed literal
         return NemoLiteral(v.lexical(), datatype=v.datatype_iri())
 
@@ -464,8 +525,15 @@ class NemoEngine:
     def trace(self, fact_string: str) -> NemoTrace | None:
         try:
             tree = self._runner.trace(fact_string)
-        except Exception:
-            return None  # lib.rs:440: parse/validation failures yield None
+        except (SyntaxError, ValueError) as err:
+            # lib.rs:440 maps only parse/validation failures to None
+            # (CompileError subclasses ValueError); genuine backend failures
+            # (Py4J/analysis errors mid-trace) must stay distinguishable from
+            # "fact not derived", so they surface as NemoError
+            log.debug("trace(%r): not parseable/derivable: %s", fact_string, err)
+            return None
+        except Exception as err:
+            raise NemoError(f"trace failed: {err}") from err
         if tree is None:
             return None
         return NemoTrace(tree, self)

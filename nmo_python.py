@@ -11,11 +11,13 @@ from nemo_spark.python_api import (
     NemoError,
     NemoFact,
     NemoLiteral,
+    NemoMap,
     NemoOutputManager,
     NemoProgram,
     NemoResults,
     NemoTiming,
     NemoTrace,
+    NemoTuple,
     load_file,
     load_string,
 )
@@ -25,11 +27,13 @@ __all__ = [
     "NemoError",
     "NemoFact",
     "NemoLiteral",
+    "NemoMap",
     "NemoOutputManager",
     "NemoProgram",
     "NemoResults",
     "NemoTiming",
     "NemoTrace",
+    "NemoTuple",
     "load_file",
     "load_string",
 ]

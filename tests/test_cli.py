@@ -33,6 +33,15 @@ def test_cli_arg_validation(tmp_path):
     assert main([str(tmp_path / "missing.rls")]) == 2
     with pytest.raises(SystemExit):
         main([str(p1), "--param", "notakeyvalue"])
+    # cli.rs clap groups: trace inputs are mutually exclusive, and so are
+    # -q / -v / --log; --trace-output requires a trace input
+    with pytest.raises(SystemExit):
+        main([str(p1), "--trace", "tc(1,2)", "--trace-all-idb-facts"])
+    with pytest.raises(SystemExit):
+        main([str(p1), "--trace-input-file", "f.txt", "--trace-all-idb-facts"])
+    with pytest.raises(SystemExit):
+        main([str(p1), "-q", "--log", "debug"])
+    assert main([str(p1), "--trace-output", str(tmp_path / "t.json")]) == 2
 
 
 @pytest.mark.slow
@@ -72,3 +81,38 @@ def test_cli_end_to_end(tmp_path):
     r2 = run("--param", "cut=3")
     assert r2.returncode == 1
     assert "overwrite" in r2.stderr
+    # -g on the keep path: the @export csv {} has no compression of its own,
+    # so the ExportManager default kicks in (cli.rs:136-139) — target gets a
+    # .gz suffix and the parts are gzipped
+    r3 = run("-o", "-g", "--param", "cut=3", "--report", "none")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    gz_parts = list((out_dir / "tc.csv.gz").glob("part-*.csv.gz"))
+    assert gz_parts, "gzipped tc export missing"
+    import gzip as _gzip
+
+    rows = set()
+    for p in gz_parts:
+        rows |= set(_gzip.decompress(p.read_bytes()).decode().splitlines())
+    assert "1,3" in rows and len(rows) == 3  # tc = {(1,2),(2,3),(1,3)}
+    # --trace-input-file (same ";"-separated format as --trace,
+    # tracing.rs:20-24) + --log (cli.rs:88 verbosity group)
+    facts_file = tmp_path / "facts.txt"
+    facts_file.write_text("tc(1, 3);\ntc(1, 2)")
+    r4 = run(
+        "-o", "--param", "cut=3", "--export", "none", "--report", "none",
+        "--trace-input-file", str(facts_file), "--log", "error",
+    )
+    assert r4.returncode == 0, r4.stderr[-2000:]
+    assert r4.stdout.count("tc(") >= 3  # two trees, tc(1,3) has a tc(1,2) premise
+    # --trace-all-idb-facts (tracing.rs:45-69) with a structured output file
+    r5 = run(
+        "-o", "--param", "cut=3", "--export", "none", "--report", "none",
+        "--trace-all-idb-facts", "--trace-output", str(tmp_path / "all.json"),
+    )
+    assert r5.returncode == 0, r5.stderr[-2000:]
+    import json as _json
+
+    all_traces = _json.loads((tmp_path / "all.json").read_text())
+    # every derived fact traced: tc has 3 facts, big = {1, 2} makes 5
+    assert len(all_traces["finalConclusion"]) == 5
+    assert any(c.startswith("big(") for c in all_traces["finalConclusion"])

@@ -689,3 +689,25 @@ def test_link_embedding_empty_and_null(spark):
     # null vector: cosine 0.0 vs every entity, min-id tie-break, kept at
     # the default min_score=0.0 boundary
     assert got[2] == (10, 0.0)
+
+
+def test_constraint_propagation_per_session(spark):
+    # ADVICE r6: the CP-disable refcount must be keyed per SparkSession —
+    # spark.sql.constraintPropagation.enabled is a per-session SQLConf, so a
+    # second engine on spark.newSession() needs its own disable, and each
+    # session's last close() restores the value saved from THAT session.
+    from nemo_spark.engine.seminaive import _CP_KEY, SemiNaiveEngine
+
+    s2 = spark.newSession()
+    s2.conf.set(_CP_KEY, "true")
+    spark_prev = spark.conf.get(_CP_KEY)
+    e1 = SemiNaiveEngine(spark)
+    assert spark.conf.get(_CP_KEY) == "false"
+    assert s2.conf.get(_CP_KEY) == "true"  # untouched so far
+    e2 = SemiNaiveEngine(s2)
+    assert s2.conf.get(_CP_KEY) == "false"  # disabled despite e1 being open
+    e2.close()
+    assert s2.conf.get(_CP_KEY) == "true"  # restored from s2's own saved value
+    assert spark.conf.get(_CP_KEY) == "false"  # e1 still open on its session
+    e1.close()
+    assert spark.conf.get(_CP_KEY) == spark_prev

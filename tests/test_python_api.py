@@ -169,6 +169,20 @@ def test_trace_api_surface(engine):
     assert engine.trace("not a fact ((") is None
 
 
+def test_trace_backend_errors_surface(engine, monkeypatch):
+    # ADVICE r6: lib.rs:440 maps only parse/validation failures to None;
+    # genuine backend failures must raise NemoError, not masquerade as
+    # "fact not derived"
+    from nemo_spark.python_api import NemoError
+
+    def boom(fact):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(engine._runner, "trace", boom)
+    with pytest.raises(NemoError, match="executor lost"):
+        engine.trace("interesting(circle)")
+
+
 def test_timing(engine):
     # test_example.py:120: one Reasoning/Rules/Rule {i} node per source rule
     timing = engine.timing()
@@ -394,3 +408,41 @@ def test_typed_literal_integer_domains():
                    ("5", "negativeInteger"), ("1", "nonPositiveInteger")]:
         with pytest.raises(ValueError_):
             from_typed_literal(lex, XSD + t)
+
+
+def test_tuple_map_value_conversion(spark):
+    # Beyond the reference: lib.rs:193-194 todo!()s tuple conversion — the
+    # bindings here convert tuple/map values to Python tuples/dicts (labels
+    # on .label), round-tripping a tuple-valued program end to end.
+    from nmo_python import NemoEngine, NemoMap, NemoTuple, load_string
+
+    prog = load_string(
+        """
+        p(f(1, 2)) .
+        p((3, "x")) .
+        p(()) .
+        p({a = 1, b = 2}) .
+        q(?x) :- p(?x) .
+        @output q .
+        """
+    )
+    eng = NemoEngine(prog, spark=spark)
+    eng.reason()
+    rows = [r[0] for r in eng.result("q")]
+    labeled = NemoTuple((1, 2), label="<f>")
+    # tuple elements follow the bindings' string contract (lib.rs:167
+    # datavalue_to_python): plain strings arrive as their CANONICAL quoted
+    # form, exactly as top-level string results do
+    plain = (3, '"x"')
+    empty = ()
+    m = NemoMap({"<a>": 1, "<b>": 2})
+    assert labeled in rows and plain in rows and empty in rows and m in rows
+    got_labeled = next(r for r in rows if r == labeled)
+    assert got_labeled.label == "<f>"
+    # labels participate in equality: f(1,2) != (1,2) and != g(1,2)
+    assert labeled != (1, 2)
+    assert labeled != NemoTuple((1, 2), label="<g>")
+    assert NemoTuple((3, '"x"')) == plain  # unlabeled == plain tuple
+    got_map = next(r for r in rows if isinstance(r, NemoMap))
+    assert got_map == {"<a>": 1, "<b>": 2} and got_map.label is None
+    assert list(got_map) == ["<a>", "<b>"]  # BTreeMap key order preserved
