@@ -88,12 +88,22 @@ def _bench_inner(spark, sf_dir: str) -> dict:
         df.write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
 
+    # steady-state text_quality: whichever text-family query compiles first
+    # in a session pays a ~1 s one-time janino codegen hit, and in this
+    # ordering that lands on text_quality. The cold time stays in `queries`
+    # (and the headline total); the warm re-run is reported alongside so the
+    # recurring cost is separable from the per-session compile.
+    t0 = time.time()
+    qmap["text_quality"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    text_quality_warm = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "e2e_headline_seconds",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "text_quality_warm_sec": text_quality_warm,
         "sf": sf,
         "turns": kg["turns"],
         "turns_per_sec": round(kg["turns_per_sec"], 1),
@@ -132,7 +142,24 @@ def scaling_leg(cores: int, corpus_dir: str, n_turns: int, trials: int | None = 
         # one clean window per leg. Best trial is kept, steal recorded.
         trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     _prewarm_page_cache(corpus_dir)
-    spark = get_spark(app_name=f"nemo_spark_scaling_{cores}", master=f"local[{cores}]")
+    # split the corpus so every leg gets >=4 waves of tasks: the default
+    # 128 MB maxPartitionBytes + 4 MB openCostInBytes binned the 256 corpus
+    # files into ~10 splits, so the 8-core leg ran 2 scheduling waves (one of
+    # them 2 tasks wide — a hard 0.625 efficiency ceiling) and the 32-core
+    # leg ran 10 tasks on 32 cores. Measured efficiency was task-granularity
+    # starvation, not the memory wall it was previously attributed to.
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(corpus_dir) for f in fs
+    )
+    mpb = min(128 << 20, max(4 << 20, corpus_bytes // (4 * cores)))
+    spark = get_spark(
+        app_name=f"nemo_spark_scaling_{cores}",
+        master=f"local[{cores}]",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(mpb),
+            "spark.sql.files.openCostInBytes": str(64 << 10),
+        },
+    )
     warm = spark.read.parquet(corpus_dir).limit(20_000)
     run_kg_pipeline(spark, 20_000, transcripts=warm)  # warm python workers / codegen
     tr = spark.read.parquet(corpus_dir)
@@ -185,12 +212,23 @@ def bench_scaling(sf_dir: str) -> dict:
     tmp = tempfile.mkdtemp(prefix="nemo_spark_corpus_")
     corpus_dir = os.path.join(tmp, "transcripts")
 
-    def sub(args: list[str]) -> str:
+    def sub(args: list[str], cpus: str | None = None) -> str:
         # every Spark session lives in its own subprocess: a stopped session's
         # JVM lingers in-process and its GC threads would steal CPU from the
         # measured legs
+        cmd = [sys.executable, os.path.abspath(__file__), *args]
+        if cpus is not None:
+            # pin the leg's ENTIRE process tree (JVM task threads, parquet
+            # writer threads, forked Python workers — affinity is inherited)
+            # to a fixed CPU set. Unpinned local[N] under-counts the low leg's
+            # silicon: its aux threads run on the box's idle cores for free,
+            # while the high leg's contend with its own task threads — stage
+            # metrics showed identical work costing 2x the task-thread CPU at
+            # local[8] vs local[1]. Pinning makes "N vs 4N cores" a true 4x
+            # hardware budget, the faithful proxy for N vs 4N executors.
+            cmd = ["taskset", "-c", cpus, *cmd]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), *args],
+            cmd,
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -216,17 +254,27 @@ def bench_scaling(sf_dir: str) -> dict:
     # reflects the job's parallel fraction.
     try:
         lo, hi = (
-            int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "8,32").split(",")
+            int(c) for c in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
         )
     except ValueError:
-        lo, hi = 8, 32
+        lo, hi = 4, 16
     ratio = hi / lo
+    # default 4,16 pinned: both budgets sit below this host's honest-silicon
+    # envelope (a pure busy-loop scales ~1.0 to 16 threads but degrades by 32
+    # — hypervisor/neighbor effects), so the ratio measures the JOB, not the
+    # box. SPARK_GRAFT_PIN=0 restores unpinned whole-box legs.
+    import shutil as _shutil
+
+    pin = os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and _shutil.which("taskset")
     try:
         sub(["--gen-corpus", corpus_dir, str(n_turns)])
         results = {}
         for cores in (lo, hi):
             results[cores] = json.loads(
-                sub(["--scaling-leg", str(cores), corpus_dir, str(n_turns)])
+                sub(
+                    ["--scaling-leg", str(cores), corpus_dir, str(n_turns)],
+                    cpus=f"0-{cores - 1}" if pin else None,
+                )
             )
     finally:
         import shutil
@@ -238,6 +286,7 @@ def bench_scaling(sf_dir: str) -> dict:
         "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
         "value": round(t_lo / (ratio * t_hi), 3),
         "unit": "ratio",
+        "pinned_cpusets": bool(pin),
         "extract_stage_efficiency": round(e_lo / (ratio * e_hi), 3),
         "turns": n_turns,
         f"local{lo}": {

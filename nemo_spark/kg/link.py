@@ -39,32 +39,52 @@ def link_exact(mentions: DataFrame, alias_dict: DataFrame, mention_col: str = "s
     return mentions.join(d, on=mentions[mention_col] == d["alias"], how="inner").drop("alias")
 
 
+#: dictionary size above which link_scored widens its blocking prefix to two
+#: characters when ``block_chars`` is left adaptive
+_WIDE_BLOCK_THRESHOLD = 100_000
+
+
 def link_scored(
     mentions: DataFrame,
     alias_dict: DataFrame,
     mention_col: str = "mention",
     min_score: float = 0.5,
+    block_chars: int | None = None,
 ) -> DataFrame:
-    """Fuzzy candidates: score every (mention, alias) pair whose aliases share
-    a first character (cheap blocking), by char-3gram Jaccard. Input mentions
-    must have a ``mention`` column; output adds (entity_id, score).
+    """Fuzzy candidates: score every (mention, alias) pair whose strings share
+    a ``block_chars``-character prefix (blocking), by char-3gram Jaccard.
+    Input mentions must have a ``mention`` column; output adds
+    (entity_id, score).
 
     At scale the dictionary stays broadcastable (entity vocabularies are
     dimension-sized); the blocking key keeps the candidate blow-up linear.
 
-    Failure mode to watch: blocking on the FIRST CHARACTER gives only a
-    ~36-way split, so each mention still meets ~1/36 of the dictionary. That
-    is fine while the dictionary is dimension-sized (10k–1M aliases), but a
-    10M-alias dictionary makes per-block candidate sets quadratic-ish; at
-    that size switch the blocking key to the first character PAIR (~1300-way)
-    or reuse the 3-gram LSH banding from ops/dedup.py, both of which keep
-    this join's output linear without changing its semantics.
+    Candidate-count bound: each mention is scored against exactly its prefix
+    block of the dictionary, so per-mention work is ``|dict| * f_max`` where
+    ``f_max`` is the largest block's fraction. A 1-char prefix is a ~36-way
+    split (f_max can reach 10-50% on name-skewed data: many aliases share
+    'S'/'M'); a 2-char prefix is a ~1300-way split and caps f_max at the
+    dictionary's worst 2-char prefix share, typically <2% even on skewed
+    names (asserted in tests/test_ops.py on a deliberately skewed
+    dictionary). Blocking is a recall trade: pairs whose prefixes differ are
+    never scored — same contract at any width, standard for prefix blocking.
+
+    ``block_chars=None`` (default) adapts: 1 while the dictionary is
+    dimension-sized (<=100k aliases, where a 36-way split already bounds the
+    broadcast-join fan-out), 2 beyond it (a 10M-alias dictionary at 1-char
+    blocking would hand every mention ~280k candidates). Beyond ~100M
+    aliases, switch to the 3-gram LSH banding of ops/dedup.py and equi-join
+    on band buckets instead of prefixes.
     """
+    if block_chars is None:
+        # limit-probe, not count(): the dictionary may be a full scan
+        big = alias_dict.limit(_WIDE_BLOCK_THRESHOLD + 1).count() > _WIDE_BLOCK_THRESHOLD
+        block_chars = 2 if big else 1
     m = mentions.withColumn("__mg", char_ngrams(F.col(mention_col))).withColumn(
-        "__blk", F.substr(F.col(mention_col), F.lit(1), F.lit(1))
+        "__blk", F.substr(F.col(mention_col), F.lit(1), F.lit(block_chars))
     )
     d = alias_dict.withColumn("__ag", char_ngrams(F.col("alias"))).withColumn(
-        "__blk", F.substr(F.col("alias"), F.lit(1), F.lit(1))
+        "__blk", F.substr(F.col("alias"), F.lit(1), F.lit(block_chars))
     )
     cand = m.join(F.broadcast(d), on="__blk", how="inner")
     scored = cand.withColumn("score", jaccard(F.col("__mg"), F.col("__ag"))).filter(
@@ -134,32 +154,39 @@ def link_embedding(
     bc = _broadcast_cached(spark, ent_ids, eunit)
     dim = eunit.shape[1]
 
+    # cap the (rows x entities) cosine matrix regardless of the session's
+    # Arrow batch size: at 128k-row batches against a 10k-entity catalogue
+    # the full-batch product would be a 10 GB float64 allocation per task
+    chunk_rows = max(1, (64 << 20) // (8 * len(ent_ids)))
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, ents = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for whole in batches:
+            if whole.empty:
                 continue
-            # NULL mention vector => zero vector => scores 0.0 everywhere
-            # (the documented zero-vector convention), not a TypeError
-            m = np.stack(
-                pdf[vec_col]
-                .map(lambda v: np.zeros(dim) if v is None else np.asarray(v, dtype="float64"))
-                .to_numpy()
-            )
-            mnorm = np.linalg.norm(m, axis=1, keepdims=True)
-            munit = np.divide(m, mnorm, out=np.zeros_like(m), where=mnorm > 0)
-            s = munit @ ents.T  # (batch, entities) cosine matrix
-            mids = pdf[id_col].to_numpy()
-            if top1:
-                j = s.argmax(axis=1)
-                best = s[np.arange(len(s)), j]
-                keep = best >= min_score
-                yield pd.DataFrame(
-                    {id_col: mids[keep], entity_id_col: ids[j[keep]], "score": best[keep]}
+            for lo in range(0, len(whole), chunk_rows):
+                pdf = whole.iloc[lo : lo + chunk_rows]
+                # NULL mention vector => zero vector => scores 0.0 everywhere
+                # (the documented zero-vector convention), not a TypeError
+                m = np.stack(
+                    pdf[vec_col]
+                    .map(lambda v: np.zeros(dim) if v is None else np.asarray(v, dtype="float64"))
+                    .to_numpy()
                 )
-            else:
-                r, c = np.nonzero(s >= min_score)
-                yield pd.DataFrame({id_col: mids[r], entity_id_col: ids[c], "score": s[r, c]})
+                mnorm = np.linalg.norm(m, axis=1, keepdims=True)
+                munit = np.divide(m, mnorm, out=np.zeros_like(m), where=mnorm > 0)
+                s = munit @ ents.T  # (chunk, entities) cosine matrix
+                mids = pdf[id_col].to_numpy()
+                if top1:
+                    j = s.argmax(axis=1)
+                    best = s[np.arange(len(s)), j]
+                    keep = best >= min_score
+                    yield pd.DataFrame(
+                        {id_col: mids[keep], entity_id_col: ids[j[keep]], "score": best[keep]}
+                    )
+                else:
+                    r, c = np.nonzero(s >= min_score)
+                    yield pd.DataFrame({id_col: mids[r], entity_id_col: ids[c], "score": s[r, c]})
 
     return mentions.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 

@@ -33,6 +33,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 13x the 10k default: the JVM<->Python Arrow boundary dominates the
+        # mapInArrow/mapInPandas stages (measured: a passthrough UDF costs
+        # 75% of the full feature-extract wall), and per-batch overhead
+        # (IPC framing + flushes, per-call RE2 recompiles) shrinks with
+        # batch size — 10k->131k cut the extract stage 23% at local[8].
+        # Python-side per-batch memory stays bounded: every batch consumer
+        # that builds super-linear intermediates chunks internally
+        # (kg/link.py link_embedding caps its cosine matrix at 64 MB).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")

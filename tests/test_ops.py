@@ -26,6 +26,55 @@ def test_link_scored_exact_and_fuzzy(spark):
     assert "zzz" not in best  # below threshold / blocked
 
 
+def test_link_scored_wide_blocking_bounds_candidates(spark):
+    # skewed dictionary: 60% of aliases start with "sa" (think "Saint …",
+    # "San …" gazetteers). 1-char blocking hands every s-mention the whole
+    # 60% block; 2-char blocking must cap the worst block, and pairs whose
+    # 2-char prefixes agree must link identically under both widths.
+    rows = [(f"sa_place_{i:04d}", f"e{i}") for i in range(600)]
+    rows += [(f"s{chr(98 + i % 24)}_other_{i:04d}", f"f{i}") for i in range(200)]
+    rows += [(f"{chr(97 + i % 26)}x_misc_{i:04d}", f"g{i}") for i in range(200)]
+    aliases = spark.createDataFrame(rows, ["alias", "entity_id"])
+
+    # measured per-block dictionary fraction: the candidate count each
+    # mention in that block meets, as a fraction of the dictionary
+    def max_block_fraction(chars: int) -> float:
+        frac = (
+            aliases.groupBy(F.substr("alias", F.lit(1), F.lit(chars)).alias("b"))
+            .count()
+            .agg((F.max("count") / F.lit(len(rows))).alias("f"))
+            .collect()[0]["f"]
+        )
+        return frac
+
+    assert max_block_fraction(1) >= 0.6  # the skew is real: 's' block dominates
+    assert max_block_fraction(2) <= 0.61  # 'sa' block = exactly the 600 sa-aliases
+    assert max_block_fraction(2) < max_block_fraction(1)
+
+    # ground-truth parity across widths: near-miss mentions of sa-aliases
+    # (2-char prefixes agree, so blocking width can't change the result)
+    mentions = spark.createDataFrame(
+        [("sa_place_0007x",), ("sa_place_0400",), ("ax_misc_0003y",)], ["mention"]
+    )
+    narrow = {
+        (r.mention, r.entity_id)
+        for r in link_scored(mentions, aliases, min_score=0.5, block_chars=1).collect()
+    }
+    wide = {
+        (r.mention, r.entity_id)
+        for r in link_scored(mentions, aliases, min_score=0.5, block_chars=2).collect()
+    }
+    assert narrow == wide and ("sa_place_0400", "e400") in wide
+
+    # adaptive default on a dimension-sized dictionary stays at 1 char
+    # (identical rows to the explicit block_chars=1 call)
+    adaptive = {
+        (r.mention, r.entity_id)
+        for r in link_scored(mentions, aliases, min_score=0.5).collect()
+    }
+    assert adaptive == narrow
+
+
 def test_link_embedding_matches_catalyst_cosine(spark):
     # A/B: the Arrow-batched broadcast scorer vs a Catalyst cross-join cosine
     import random
