@@ -295,7 +295,10 @@ def q_kg_link_scored(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("subj_alias").alias("mention"))
         .dropDuplicates()
     )
-    scored = link_scored(m, alias_dict(spark), min_score=0.5)
+    # block_chars pinned to 1: the DuckDB oracle replicates first-char
+    # blocking unconditionally, so the adaptive default must never diverge
+    # from it (it would at >100k aliases)
+    scored = link_scored(m, alias_dict(spark), min_score=0.5, block_chars=1)
     best = best_candidate(scored, ["mention"])
     return best.select("mention", "entity_id", F.round("score", 6).alias("score"))
 

@@ -7,9 +7,10 @@ Default mode (driver contract): run headline queries at
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``--scaling`` mode: run the KG pipeline at local[8] and local[32] on the SAME
-input and report throughput at both plus scaling efficiency — the sandbox
-proxy for the north rule's N vs 4N executor criterion.
+``--scaling`` mode: run the KG pipeline at N and 4N cores (default 2,8, each
+leg taskset-pinned to its own CPU budget) on the SAME input and report
+throughput at both plus scaling efficiency — the sandbox proxy for the north
+rule's N vs 4N executor criterion.
 """
 
 from __future__ import annotations
@@ -186,9 +187,11 @@ def scaling_leg(cores: int, corpus_dir: str, n_turns: int, trials: int | None = 
 
 
 def bench_scaling(sf_dir: str) -> dict:
-    """Same KG job over the SAME materialized transcript table at local[8] and
-    local[32], each leg in a fresh subprocess JVM; the sandbox proxy for the
-    north rule's N vs 4N executor criterion. efficiency = T8 / (4 * T32)."""
+    """Same KG job over the SAME materialized transcript table at N and 4N
+    cores (default 2,8), each leg a fresh subprocess JVM taskset-pinned to
+    its own CPU budget; the sandbox proxy for the north rule's N vs 4N
+    executor criterion. efficiency = T_lo / (4 * T_hi)."""
+    import shutil
     import subprocess
     import tempfile
 
@@ -262,9 +265,7 @@ def bench_scaling(sf_dir: str) -> dict:
     # 16-core leg is bandwidth-bound), so the ratio measures the JOB, not the
     # box. Measured pinned 2->8 at 100M turns: 0.828 e2e / 0.828 extract
     # (BENCH_SCALING.json). SPARK_GRAFT_PIN=0 restores unpinned whole-box legs.
-    import shutil as _shutil
-
-    pin = os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and _shutil.which("taskset")
+    pin = os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and shutil.which("taskset")
     try:
         sub(["--gen-corpus", corpus_dir, str(n_turns)])
         results = {}
@@ -276,8 +277,6 @@ def bench_scaling(sf_dir: str) -> dict:
                 )
             )
     finally:
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)  # multi-GB corpus: never leak
     t_lo, t_hi = results[lo]["wall"], results[hi]["wall"]
     e_lo, e_hi = results[lo]["extract_wall"], results[hi]["extract_wall"]

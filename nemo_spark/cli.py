@@ -120,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --trace-output requires --trace/--trace-input-file/--trace-all-idb-facts",
               file=sys.stderr)
         return 2
+    for path in args.trace_input_file:
+        # fail BEFORE the reasoning run: a typo'd path surfacing as a
+        # FileNotFoundError after the fixpoint wastes the whole run
+        if not (os.path.isfile(path) and os.access(path, os.R_OK)):
+            print(f"error: --trace-input-file {path}: not a readable file", file=sys.stderr)
+            return 2
 
     spark = get_spark(app_name="nemo_spark_cli", master=args.master)
     if args.log is not None:
@@ -167,11 +173,16 @@ def main(argv: list[str] | None = None) -> int:
         elif args.export != "none":
             os.makedirs(args.export_dir, exist_ok=True)
             preds = _class_predicates(runner, args.export)
+            # class exports have no directive-level compression, so -g both
+            # gzips the content AND appends the .gz suffix — same
+            # ExportManager sanitized_path naming rule the keep path follows
+            # (export_manager.rs:114)
+            suffix = ".csv.gz" if args.gzip else ".csv"
             # two predicates sanitizing to one filename would silently
             # overwrite each other WITHIN this run — always an error
             by_file: dict[str, list[str]] = {}
             for p in preds:
-                by_file.setdefault(sanitize_pred(p) + ".csv", []).append(p)
+                by_file.setdefault(sanitize_pred(p) + suffix, []).append(p)
             dupes = {f: ps for f, ps in by_file.items() if len(ps) > 1}
             if dupes:
                 msg = "; ".join(f"{f} <- {', '.join(ps)}" for f, ps in dupes.items())
@@ -181,9 +192,9 @@ def main(argv: list[str] | None = None) -> int:
                 # check EVERY target before writing ANY — aborting halfway
                 # would leave a partial export behind a failure exit code
                 clash = [
-                    sanitize_pred(p) + ".csv"
+                    sanitize_pred(p) + suffix
                     for p in preds
-                    if os.path.exists(os.path.join(args.export_dir, sanitize_pred(p) + ".csv"))
+                    if os.path.exists(os.path.join(args.export_dir, sanitize_pred(p) + suffix))
                 ]
                 if clash:
                     print(
@@ -193,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     return 1
             for pred in preds:
-                target = os.path.join(args.export_dir, sanitize_pred(pred) + ".csv")
+                target = os.path.join(args.export_dir, sanitize_pred(pred) + suffix)
                 w = runner.serialized(pred).write.mode("overwrite").option("escape", '"')
                 if args.gzip:
                     w = w.option("compression", "gzip")

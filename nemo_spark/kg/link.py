@@ -77,9 +77,7 @@ def link_scored(
     on band buckets instead of prefixes.
     """
     if block_chars is None:
-        # limit-probe, not count(): the dictionary may be a full scan
-        big = alias_dict.limit(_WIDE_BLOCK_THRESHOLD + 1).count() > _WIDE_BLOCK_THRESHOLD
-        block_chars = 2 if big else 1
+        block_chars = _adaptive_block_chars(alias_dict)
     m = mentions.withColumn("__mg", char_ngrams(F.col(mention_col))).withColumn(
         "__blk", F.substr(F.col(mention_col), F.lit(1), F.lit(block_chars))
     )
@@ -91,6 +89,27 @@ def link_scored(
         F.col("score") >= F.lit(min_score)
     )
     return scored.drop("__mg", "__ag", "__blk")
+
+
+# adaptive-width probe results, keyed weakly on the dictionary DataFrame:
+# the probe is an eager Spark job, and per-micro-batch loops call
+# link_scored with the SAME dictionary object — they should pay it once.
+# (Callers that rebuild the DataFrame each call can pass block_chars
+# explicitly to skip the probe entirely.)
+import weakref
+
+_BLOCK_PROBE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _adaptive_block_chars(alias_dict: DataFrame) -> int:
+    cached = _BLOCK_PROBE_CACHE.get(alias_dict)
+    if cached is not None:
+        return cached
+    # limit-probe, not count(): the dictionary may be a full scan
+    big = alias_dict.limit(_WIDE_BLOCK_THRESHOLD + 1).count() > _WIDE_BLOCK_THRESHOLD
+    width = 2 if big else 1
+    _BLOCK_PROBE_CACHE[alias_dict] = width
+    return width
 
 
 def link_embedding(

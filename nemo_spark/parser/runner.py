@@ -553,8 +553,12 @@ class RlsRunner:
         ``_interpreted_expressions`` scope.
 
         ``default_compression='gzip'`` is the CLI ``-g`` (ExportManager
-        default, cli.rs:136-139): applied only when the directive specifies
-        no compression of its own (explicit or via a ``.gz`` resource)."""
+        default, cli.rs:136-139): applied whenever the directive's RESOLVED
+        compression is none — the reference's is_compressed() check
+        (export_manager.rs:142, formats.rs:146-148) cannot distinguish an
+        explicit ``compression="none"`` from an absent option, so ``-g``
+        gzips both; only an already-compressed directive (explicit gzip or
+        a ``.gz`` resource) is left alone."""
         if exp.fmt in _RDF_FMTS:
             from nemo_spark.sources.rdf_typed import serialize_rdf_typed
 

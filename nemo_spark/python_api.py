@@ -198,7 +198,10 @@ class NemoTuple(tuple):
         return NotImplemented if eq is NotImplemented else not eq
 
     def __hash__(self) -> int:
-        return hash((self.label, tuple(self)))
+        # unlabeled tuples compare equal to plain tuples, so they must hash
+        # like them (set/dict membership breaks otherwise); labeled tuples
+        # fold the label in
+        return tuple.__hash__(self) if self.label is None else hash((self.label, tuple(self)))
 
     def __repr__(self) -> str:
         head = "" if self.label is None else str(self.label)

@@ -42,6 +42,9 @@ def test_cli_arg_validation(tmp_path):
     with pytest.raises(SystemExit):
         main([str(p1), "-q", "--log", "debug"])
     assert main([str(p1), "--trace-output", str(tmp_path / "t.json")]) == 2
+    # a typo'd --trace-input-file fails BEFORE the reasoning run, not as a
+    # FileNotFoundError traceback after the fixpoint
+    assert main([str(p1), "--trace-input-file", str(tmp_path / "nope.txt")]) == 2
 
 
 @pytest.mark.slow
@@ -94,6 +97,12 @@ def test_cli_end_to_end(tmp_path):
     for p in gz_parts:
         rows |= set(_gzip.decompress(p.read_bytes()).decode().splitlines())
     assert "1,3" in rows and len(rows) == 3  # tc = {(1,2),(2,3),(1,3)}
+    # -g on the CLASS-export path (-e idb): same ExportManager naming rule
+    # as the keep path — gzipped parts under a .csv.gz target
+    r3b = run("-o", "-g", "-e", "idb", "--param", "cut=3", "--report", "none")
+    assert r3b.returncode == 0, r3b.stderr[-2000:]
+    assert list((out_dir / "tc.csv.gz").glob("part-*.csv.gz")), "idb -g export missing"
+    assert list((out_dir / "big.csv.gz").glob("part-*.csv.gz")), "idb -g export missing"
     # --trace-input-file (same ";"-separated format as --trace,
     # tracing.rs:20-24) + --log (cli.rs:88 verbosity group)
     facts_file = tmp_path / "facts.txt"

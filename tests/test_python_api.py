@@ -443,6 +443,11 @@ def test_tuple_map_value_conversion(spark):
     assert labeled != (1, 2)
     assert labeled != NemoTuple((1, 2), label="<g>")
     assert NemoTuple((3, '"x"')) == plain  # unlabeled == plain tuple
+    # ... and therefore must HASH like one (hash/eq contract): set/dict
+    # membership with plain-tuple keys works both ways
+    assert hash(NemoTuple((3, '"x"'))) == hash(plain)
+    assert NemoTuple((3, '"x"')) in {plain} and plain in {NemoTuple((3, '"x"'))}
+    assert hash(labeled) != hash((1, 2))  # labeled tuples fold the label in
     got_map = next(r for r in rows if isinstance(r, NemoMap))
     assert got_map == {"<a>": 1, "<b>": 2} and got_map.label is None
     assert list(got_map) == ["<a>", "<b>"]  # BTreeMap key order preserved
