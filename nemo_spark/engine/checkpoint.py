@@ -100,6 +100,16 @@ class CheckpointStore:
         steps = self.steps(name)
         return steps[-1] if steps else None
 
+    def load_all(self, name: str) -> DataFrame | None:
+        """ONE flat multi-path scan over every complete step of ``name``.
+        Restoring hundreds of streamed batch snapshots must not build an
+        N-deep union of N separate reads — Catalyst analysis cost grows
+        with plan depth (a known plan-blowup hazard here)."""
+        paths = [self._path(name, s) for s in self.steps(name)]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
     def load(self, name: str, step: int | None = None) -> DataFrame | None:
         """Resume: read a snapshot (latest complete one by default). An
         explicit ``step`` is held to the same _SUCCESS completeness check as

@@ -56,6 +56,15 @@ def _rule_str(tree: dict, rules_by_label: dict | None) -> str:
     label = tree.get("rule")
     if rules_by_label and label in rules_by_label:
         return str(rules_by_label[label])
+    if rules_by_label and label and "+" in str(label):
+        # trace_tree's fallback paths carry merged provenance labels
+        # ("s0r0+s0r1": the round that derived the fact merged several
+        # rules and no single witness was reconstructed) — render the
+        # first resolvable rule, marked as one of the alternatives,
+        # instead of emitting a label mashup that names no rule
+        for part in str(label).split("+"):
+            if part in rules_by_label:
+                return f"{rules_by_label[part]} [one of merged: {label}]"
     return str(label)
 
 

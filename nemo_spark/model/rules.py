@@ -134,9 +134,26 @@ class Rule:
     # nemo-physical/src/function/definitions/numeric/integer64.rs)
     assignments: list[tuple[str, ExprFn]] = field(default_factory=list)
     name: str | None = None
+    # source-text rendering (the compiler stamps parsed rules with the
+    # reference's Display form); used by __str__ so trace exports show rule
+    # text, never the dataclass repr with its lambda memory addresses
+    display: str | None = None
 
     def heads(self) -> list[Atom]:
         return [self.head, *self.extra_heads]
+
+    def __str__(self) -> str:
+        if self.display is not None:
+            return self.display
+        # structural fallback for API-built rules: filters/assignments are
+        # opaque Python callables, so render placeholders — deterministic
+        # output (no object reprs/addresses), stable across runs
+        items = [repr(a) for a in self.body]
+        items += ["~" + repr(a) for a in self.negated]
+        items += ["<filter>"] * len(self.filters)
+        items += [f"?{name} := <expr>" for name, _fn in self.assignments]
+        heads = ", ".join(repr(h) for h in self.heads())
+        return f"{heads} :- {', '.join(items)} ."
 
     def existential_vars(self) -> list["EVar"]:
         from nemo_spark.model.rules import EVar  # self-reference for clarity

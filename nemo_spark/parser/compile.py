@@ -1054,6 +1054,8 @@ def _compile_simple_rule(rast: RuleAST, label: str, resolver: Resolver, ec: Expr
     if agg_seen is not None and len(head_atoms) > 1:
         raise CompileError("aggregates require a single head atom")
 
+    from nemo_spark.parser.render import render_rule
+
     return Rule(
         head=head_atoms[0],
         body=body_atoms,
@@ -1062,4 +1064,5 @@ def _compile_simple_rule(rast: RuleAST, label: str, resolver: Resolver, ec: Expr
         filters=filters,
         assignments=assignments,
         name=label,
+        display=render_rule(rast),
     )

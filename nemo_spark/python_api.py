@@ -648,69 +648,10 @@ def _env_eval_cls():
 
 # ------------------------------------------------------------- rule display
 
-
-def _render_term(t) -> str:
-    from nemo_spark.parser import rls as R
-
-    if isinstance(t, R.TVar):
-        return f"?{t.name}"
-    if isinstance(t, R.TEVar):
-        return f"!{t.name}"
-    if isinstance(t, R.TWildcard):
-        return "_"
-    if isinstance(t, R.TNum):
-        return t.text
-    if isinstance(t, R.TString):
-        out = quote_string(t.text)
-        if t.lang:
-            out += f"@{t.lang}"
-        elif t.datatype is not None:
-            out += f"^^{_render_term(t.datatype)}"
-        return out
-    if isinstance(t, R.TIri):
-        return f"<{t.iri}>"
-    if isinstance(t, R.TPName):
-        return f"{t.prefix}:{t.local}"
-    if isinstance(t, R.TName):
-        return t.name
-    if isinstance(t, R.TParam):
-        return f"${t.name}"
-    if isinstance(t, R.TFString):
-        inner = "".join(p if isinstance(p, str) else "{" + _render_term(p) + "}" for p in t.parts)
-        return f'f"{inner}"'
-    if isinstance(t, R.TAgg):
-        return f"{t.op}({', '.join(_render_term(a) for a in t.args)})"
-    if isinstance(t, R.TCall):
-        if t.fn in ("SUM", "SUBTRACTION", "PRODUCT", "DIVISION") and len(t.args) == 2:
-            op = {"SUM": "+", "SUBTRACTION": "-", "PRODUCT": "*", "DIVISION": "/"}[t.fn]
-            return f"{_render_term(t.args[0])} {op} {_render_term(t.args[1])}"
-        cmp = {
-            "EQUALITY": "=",
-            "UNEQUALITY": "!=",
-            "NUMGREATER": ">",
-            "NUMGREATEREQ": ">=",
-            "NUMLESS": "<",
-            "NUMLESSEQ": "<=",
-        }.get(t.fn)
-        if cmp and len(t.args) == 2:
-            return f"{_render_term(t.args[0])} {cmp} {_render_term(t.args[1])}"
-        return f"{t.fn}({', '.join(_render_term(a) for a in t.args)})"
-    return repr(t)
-
-
-def _render_atom(a) -> str:
-    return f"{a.pred}({', '.join(_render_term(t) for t in a.terms)})"
-
-
-def _render_rule(rast) -> str:
-    """Reference Display form: ``head :- body, items .``"""
-    heads = ", ".join(_render_atom(h) for h in rast.heads)
-    items = []
-    for kind, *rest in [(b[0], *b[1:]) for b in rast.body]:
-        if kind == "atom":
-            items.append(_render_atom(rest[0]))
-        elif kind == "neg":
-            items.append("~" + _render_atom(rest[0]))
-        else:
-            items.append(_render_term(rest[0]))
-    return f"{heads} :- {', '.join(items)} ."
+# renderers live in parser/render.py (shared with the compiler, which stamps
+# each Rule's ``display``); keep the private aliases for existing callers
+from nemo_spark.parser.render import (  # noqa: E402
+    render_atom as _render_atom,
+    render_rule as _render_rule,
+    render_term as _render_term,
+)

@@ -1,3 +1,3 @@
-from nemo_spark.streaming.incremental import stream_facts_into
+from nemo_spark.streaming.incremental import restore_streamed_facts, stream_facts_into
 
-__all__ = ["stream_facts_into"]
+__all__ = ["restore_streamed_facts", "stream_facts_into"]

@@ -15,12 +15,27 @@ are never redelivered — but the engine's accumulated tables live in the
 driver process. Restarting with only ``checkpoint_location`` therefore
 silently loses every already-committed batch. Pass ``store=`` (a
 :class:`~nemo_spark.engine.checkpoint.CheckpointStore`) to persist each
-micro-batch delta BEFORE it feeds the fixpoint; after a restart,
-:func:`restore_streamed_facts` re-injects the persisted batches into the
-fresh engine, then the restarted query continues from the first uncommitted
-batch. Snapshots are step-keyed by batch id, so a crash between snapshot and
+micro-batch delta BEFORE it feeds the fixpoint. The restart protocol, in
+order:
+
+1. build a fresh engine, register the non-streamed EDB tables, and
+   ``engine.run(program)`` — :meth:`SemiNaiveEngine.extend` seeds only
+   DELTA rounds, so rules whose bodies contain no streamed predicate
+   (and inline program facts) derive ONLY in this initial full run;
+2. :func:`restore_streamed_facts` — re-injects every persisted batch in
+   one flat scan + one extend fixpoint;
+3. restart the streaming query with the same ``checkpoint_location``
+   (and the same ``store_name``, if one was passed) — it continues from
+   the first uncommitted batch.
+
+Snapshots are step-keyed by batch id, so a crash between snapshot and
 commit is safe: the redelivered batch overwrites its own snapshot
-idempotently. Watermarks/late data are a non-issue because Datalog facts are
+idempotently. Two queries feeding the SAME predicate must not share a
+snapshot name (their batch ids both start at 0 and would overwrite each
+other) — the default name folds in ``checkpoint_location`` precisely so
+concurrent queries get disjoint names; queries without a checkpoint
+share the bare ``stream_{pred}`` name and need explicit ``store_name``s.
+Watermarks/late data are a non-issue because Datalog facts are
 set-monotone (arrival order cannot change the fixpoint).
 """
 
@@ -35,8 +50,19 @@ from nemo_spark.engine.seminaive import SemiNaiveEngine
 from nemo_spark.model.rules import Program
 
 
-def _store_name(pred: str, store_name: str | None) -> str:
-    return store_name if store_name is not None else f"stream_{pred}"
+def _store_name(pred: str, store_name: str | None, checkpoint_location: str | None) -> str:
+    if store_name is not None:
+        return store_name
+    if checkpoint_location:
+        # fold the query's checkpoint into the default name: two queries
+        # streaming into the SAME predicate each start batch ids at 0, so a
+        # shared stream_{pred} name would let one query's step=N snapshot
+        # silently overwrite the other's
+        import hashlib
+
+        digest = hashlib.md5(checkpoint_location.encode()).hexdigest()[:8]
+        return f"stream_{pred}_{digest}"
+    return f"stream_{pred}"
 
 
 def stream_facts_into(
@@ -57,7 +83,7 @@ def stream_facts_into(
     is given, each batch delta is snapshotted (step = batch id) before the
     fixpoint consumes it — see the module docstring for the restart
     protocol. Returns the started StreamingQuery (caller awaits/stops)."""
-    name = _store_name(pred, store_name)
+    name = _store_name(pred, store_name, checkpoint_location)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         df = transform(batch_df) if transform is not None else batch_df
@@ -81,18 +107,23 @@ def restore_streamed_facts(
     store: Any,
     pred: str,
     store_name: str | None = None,
+    checkpoint_location: str | None = None,
 ) -> int:
     """Re-inject every batch delta persisted by :func:`stream_facts_into`
-    into a fresh engine (one union + one ``extend`` fixpoint, not one per
-    batch). Call BEFORE restarting the streaming query with the same
-    ``checkpoint_location``. Returns the number of batches restored."""
-    name = _store_name(pred, store_name)
+    into a fresh engine (ONE flat multi-path scan + one ``extend``
+    fixpoint — not an N-deep union of N reads). Step 2 of the restart
+    protocol (module docstring): run AFTER ``engine.run(program)`` and
+    BEFORE restarting the streaming query. Pass the same ``store_name`` /
+    ``checkpoint_location`` the query was started with, so the derived
+    snapshot name matches. Returns the number of batches restored."""
+    name = _store_name(pred, store_name, checkpoint_location)
     steps = store.steps(name)
+    if not steps and checkpoint_location:
+        # pre-round-6 stores snapshotted under the bare stream_{pred} name
+        # (no checkpoint digest); fall back so their batches still restore
+        name = _store_name(pred, None, None)
+        steps = store.steps(name)
     if not steps:
         return 0
-    union = None
-    for step in steps:
-        df = store.load(name, step)
-        union = df if union is None else union.unionByName(df)
-    engine.extend(program, {pred: union})
+    engine.extend(program, {pred: store.load_all(name)})
     return len(steps)

@@ -155,7 +155,9 @@ def test_streaming_restart_resumes_from_store(spark, tmp_path):
     eng2 = SemiNaiveEngine(spark)
     eng2.register("edge", spark.createDataFrame([], "a long, b long"))
     eng2.run(TC_PROG)
-    assert restore_streamed_facts(eng2, TC_PROG, store, "edge") >= 1
+    # same checkpoint_location as the query: the default snapshot name folds
+    # it in so concurrent queries into one predicate can't collide
+    assert restore_streamed_facts(eng2, TC_PROG, store, "edge", checkpoint_location=ckpt) >= 1
     stream2 = spark.readStream.schema("a long, b long").option(
         "recursiveFileLookup", "true"
     ).parquet(str(src))
@@ -163,3 +165,16 @@ def test_streaming_restart_resumes_from_store(spark, tmp_path):
     q2.awaitTermination(120)
     got = {(r.c0, r.c1) for r in eng2.table("tc").collect()}
     assert got == _tc({(1, 2), (2, 3), (3, 4)})
+
+
+def test_stream_store_names_disjoint_per_query(tmp_path):
+    from nemo_spark.streaming.incremental import _store_name
+
+    # two queries into the SAME predicate with different checkpoints must
+    # snapshot under different names (batch ids both start at 0)
+    a = _store_name("edge", None, str(tmp_path / "ckptA"))
+    b = _store_name("edge", None, str(tmp_path / "ckptB"))
+    assert a != b and a.startswith("stream_edge_") and b.startswith("stream_edge_")
+    # explicit store_name always wins; no checkpoint = legacy bare name
+    assert _store_name("edge", "mine", str(tmp_path / "ckptA")) == "mine"
+    assert _store_name("edge", None, None) == "stream_edge"

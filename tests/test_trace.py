@@ -172,3 +172,41 @@ def test_trace_graphml_merges_multiple_trees():
     ns = "{http://graphml.graphdrawing.org/xmlns}"
     nodes = root.findall(f"{ns}graph/{ns}node")
     assert len(nodes) == 5  # p + r1 + e, q + r2
+
+
+def test_trace_export_renders_rule_text_not_reprs(spark, tmp_path):
+    # rules with filters/assignments compile to lambdas; trace exports must
+    # show the rule's source rendering, never the dataclass repr with its
+    # '<function <lambda> at 0x...>' memory addresses (nondeterministic
+    # across runs, breaks golden comparisons)
+    from nemo_spark.engine.trace_export import trace_graphml, trace_inferences_json
+    from nemo_spark.parser.runner import RlsRunner
+
+    rls = tmp_path / "p.rls"
+    rls.write_text(
+        """
+        edge(1, 2) . edge(2, 3) .
+        far(?x, ?z) :- edge(?x, ?y), edge(?y, ?z), ?x < ?z .
+        @output far .
+        """
+    )
+    runner = RlsRunner(spark, rls_path=str(rls), trace=True).run()
+    tree = runner.trace("far(1, 3)")
+    assert tree is not None
+    rules_by_label = runner.engine._rules_by_label
+    for body in (trace_graphml(tree, rules_by_label), trace_inferences_json(tree, rules_by_label)):
+        assert "<function" not in body and " at 0x" not in body
+        # the filter renders as source text (XML-escaped in GraphML)
+        assert "?x < ?z" in body or "?x &lt; ?z" in body
+    # API-built rules (no parsed source) fall back to a deterministic
+    # structural rendering — still no object reprs
+    from nemo_spark.model.rules import Atom, Rule, Var
+    import pyspark.sql.functions as F
+
+    r = Rule(
+        head=Atom("p", Var("x")),
+        body=[Atom("q", Var("x"))],
+        filters=[lambda cols: cols["x"] > F.lit(0)],
+    )
+    s = str(r)
+    assert "0x" not in s and "<filter>" in s and s.startswith("p(?x) :- q(?x)")
