@@ -1234,6 +1234,11 @@ mh AS (
          list_aggregate(list_transform(s, x -> md5('b2|' || x)), 'min') AS band2,
          list_aggregate(list_transform(s, x -> md5('b3|' || x)), 'min') AS band3
   FROM sh
+),
+shortd AS (
+  SELECT t.doc_id, md5({_normalized_sql("text")}) AS sk
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+  WHERE len(t.t) < 3
 )
 """
 
@@ -1249,6 +1254,8 @@ SELECT DISTINCT a, b FROM (
   SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band2 = y.band2 AND x.doc_id < y.doc_id
   UNION ALL
   SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band3 = y.band3 AND x.doc_id < y.doc_id
+  UNION ALL
+  SELECT x.doc_id, y.doc_id FROM shortd x JOIN shortd y ON x.sk = y.sk AND x.doc_id < y.doc_id
 )
 """
 
@@ -1263,12 +1270,16 @@ cpairs AS (
     SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band2 = y.band2 AND x.doc_id < y.doc_id
     UNION ALL
     SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band3 = y.band3 AND x.doc_id < y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM shortd x JOIN shortd y ON x.sk = y.sk AND x.doc_id < y.doc_id
   )
 ),
 vpairs AS (
   SELECT p.a, p.b FROM cpairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b
-  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) >= 0.5
+  WHERE (CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0 THEN
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+         ELSE 1.0 END) >= 0.5
 ),
 edges AS (SELECT a AS src, b AS dst FROM vpairs UNION SELECT b, a FROM vpairs),
 reach(a, b) AS (
@@ -1295,12 +1306,16 @@ pairs AS (
     SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band2 = y.band2 AND x.doc_id < y.doc_id
     UNION ALL
     SELECT x.doc_id, y.doc_id FROM mh x JOIN mh y ON x.band3 = y.band3 AND x.doc_id < y.doc_id
+    UNION ALL
+    SELECT x.doc_id, y.doc_id FROM shortd x JOIN shortd y ON x.sk = y.sk AND x.doc_id < y.doc_id
   )
 ),
 j AS (
   SELECT p.a, p.b,
-         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+         (CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0 THEN
+            CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+          ELSE 1.0 END) AS jaccard
   FROM pairs p JOIN sh sa ON sa.doc_id = p.a JOIN sh sb ON sb.doc_id = p.b
 )
 SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.5

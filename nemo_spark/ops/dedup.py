@@ -33,8 +33,13 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one representative (min id) per exact content group."""
-    h = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    """Keep one representative (min id) per exact content group.
+
+    NULL text hashes to the sentinel key 'NULL' (md5 hex is 32 chars, so no
+    collision is possible): NULL-text rows form ONE group and keep their
+    min-id representative — a plain equality rejoin on a NULL digest would
+    never match and silently DELETE every NULL-text row."""
+    h = F.coalesce(F.md5(F.encode(F.col(text_col), "UTF-8")), F.lit("NULL"))
     strukt = F.struct(F.col(id_col).alias("i"))
     keep = df.withColumn("__h", h).groupBy("__h").agg(F.min(strukt).alias("__k"))
     return (
@@ -82,17 +87,41 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return sh.select(F.col(id_col), *[_band_min(F.col("__sh"), b) for b in range(bands)])
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4, k: int = 3
+) -> DataFrame:
     """(a, b) candidate near-dup pairs: docs sharing any band minhash.
-    Self-join per band on the band value — bucket sizes bound the work."""
-    sig = minhash_bands(df, id_col, text_col, bands)
+    Self-join per band on the band value — bucket sizes bound the work.
+
+    Docs with fewer than ``k`` tokens have EMPTY shingle sets, so every band
+    minhash is NULL and the band equi-joins can never propose them — without
+    a fallback, byte-identical short docs would silently never dedup. They
+    pair on exact whitespace-normalized text instead (so only truly
+    identical short docs match; near-miss short docs are below the shingle
+    resolution by definition).
+
+    The signature table is localCheckpoint'ed before the per-band joins:
+    each band join references it on both sides, so the lazy plan would
+    re-run tokenize+shingle+minhash 2*bands times over the full input."""
+    sig = minhash_bands(df, id_col, text_col, bands, k).localCheckpoint(eager=False)
     pairs = None
     for b in range(bands):
         left = sig.select(F.col(id_col).alias("a"), F.col(f"band{b}").alias("__v"))
         right = sig.select(F.col(id_col).alias("b"), F.col(f"band{b}").alias("__v"))
         p = left.join(right, on="__v").filter(F.col("a") < F.col("b")).select("a", "b")
         pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.dropDuplicates()
+    from nemo_spark.ops.text import normalized
+
+    short = df.select(
+        F.col(id_col), F.md5(F.encode(normalized(F.col(text_col)), "UTF-8")).alias("__sk")
+    ).filter(F.size(tokens(F.col(text_col))) < k)
+    sp = (
+        short.select(F.col(id_col).alias("a"), "__sk")
+        .join(short.select(F.col(id_col).alias("b"), "__sk"), on="__sk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return pairs.unionByName(sp).dropDuplicates()
 
 
 def jaccard_verify(

@@ -126,6 +126,18 @@ def resize_metadata(assets: DataFrame, max_side: int = 512) -> DataFrame:
     scale = F.when(side > 0, F.least(F.lit(1.0), F.lit(float(max_side)) / side)).otherwise(
         F.lit(1.0)
     )
-    return assets.withColumn("target_w", (F.col("width") * scale).cast("int")).withColumn(
-        "target_h", (F.col("height") * scale).cast("int")
-    ).withColumn("needs_resize", scale < 1.0)
+    # round + floor-at-1: a truncating cast gives target 0 for extreme
+    # aspect ratios (1x2000 at max_side 512 -> int(0.256) = 0), an invalid
+    # plan any real decoder would reject
+    def _dim(c):
+        return F.greatest(F.round(c * scale).cast("int"), F.lit(1))
+
+    return (
+        assets.withColumn(
+            "target_w", F.when(F.col("width") > 0, _dim(F.col("width"))).otherwise(F.lit(0))
+        )
+        .withColumn(
+            "target_h", F.when(F.col("height") > 0, _dim(F.col("height"))).otherwise(F.lit(0))
+        )
+        .withColumn("needs_resize", scale < 1.0)
+    )

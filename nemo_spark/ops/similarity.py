@@ -116,12 +116,15 @@ def _dim_checked(vec: Column, dim: int) -> Column:
     product to NULL, and the sign test's otherwise-branch then writes
     sig/bucket 0 for EVERY row — silently degenerating the (band, sig)
     equi-join into a per-band cross product and making bucketed top-k
-    return empty. assert_true raises at the first mismatched row instead."""
+    return empty. assert_true raises at the first mismatched row instead.
+    A NULL vector also fails (the banded path has no zero-vector
+    convention to degrade to) — coalesce keeps the error message readable
+    instead of letting NULL poison it to a literal null message."""
     ok = F.assert_true(
         F.size(vec) == dim,
         F.concat(
             F.lit(f"embedding dim mismatch: expected {dim}, got "),
-            F.size(vec).cast("string"),
+            F.coalesce(F.size(vec).cast("string"), F.lit("NULL vector")),
         ),
     )
     return F.when(ok.isNull(), vec)
@@ -182,16 +185,24 @@ def embedding_near_dups(
                     dot(F.col(vec_col), pl) > 0, F.lit(1 << p).cast("long")
                 ).otherwise(F.lit(0).cast("long"))
             sigs.append(F.struct(F.lit(band).alias("band"), sig.alias("sig")))
-        e = src.select(
-            F.col(id_col), F.col(vec_col), F.explode(F.array(*sigs)).alias("bs")
-        ).select(F.col(id_col), F.col(vec_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-        a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "band", "sig")
-        b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "band", "sig")
-        pairs = (
+        # explode (id, band, sig) ONLY — carrying the vector through the
+        # explode would replicate the dominant payload n_bands times into
+        # the self-join shuffle (~16x shuffle bytes); vectors rejoin by id
+        # after pair-dedup, which re-scans the (columnar, pruned) source
+        # twice instead — far cheaper than shuffling 16x vectors
+        e = src.select(F.col(id_col), F.explode(F.array(*sigs)).alias("bs")).select(
+            F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        )
+        a = e.select(F.col(id_col).alias("a"), "band", "sig")
+        b = e.select(F.col(id_col).alias("b"), "band", "sig")
+        cand = (
             a.join(b, on=["band", "sig"])
             .filter(F.col("a") < F.col("b"))
             .dropDuplicates(["a", "b"])  # same pair may collide in several bands
         )
+        va = src.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"))
+        vb = src.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"))
+        pairs = cand.join(va, on="a").join(vb, on="b")
     scored = pairs.withColumn("score", cosine(F.col("__va"), F.col("__vb")))
     return scored.filter(F.col("score") >= threshold).select("a", "b", "score")
 

@@ -26,9 +26,12 @@ _EDGE_PUNCT_CHARS = ".,;:!?\"'()[]{}"
 
 
 def normalized(text: Column) -> Column:
-    """Whitespace-normalized text: trimmed, whitespace runs collapsed to
-    single spaces — the fingerprint base."""
-    return F.regexp_replace(F.trim(text), _WS, " ")
+    """Whitespace-normalized text: whitespace runs collapsed to single
+    spaces, then trimmed — the fingerprint base. Collapse BEFORE trim:
+    trim() strips ASCII spaces only, so the reverse order leaves a residual
+    edge space for leading/trailing tabs/newlines ('hello\\n' would
+    fingerprint differently from 'hello')."""
+    return F.trim(F.regexp_replace(text, _WS, " "))
 
 
 def tokens(text: Column) -> Column:
@@ -46,8 +49,9 @@ def _token_key(x: Column) -> Column:
 
 def normalized_sql(col: str = "text") -> str:
     """DuckDB expression equal to :func:`normalized` ('g' = replace-all,
-    matching Spark's always-global regexp_replace)."""
-    return f"regexp_replace(trim({col}), '{_WS}', ' ', 'g')"
+    matching Spark's always-global regexp_replace; collapse-then-trim order
+    matches too)."""
+    return f"trim(regexp_replace({col}, '{_WS}', ' ', 'g'))"
 
 
 def tokens_sql(col: str = "text") -> str:
@@ -110,15 +114,30 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def langid_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Tiny deterministic language-ID: English stopword density threshold.
     (A real model would be an Arrow-batched UDF; the heuristic keeps the
-    operator JVM-side and exactly reproducible.)"""
+    operator JVM-side and exactly reproducible.)
+
+    Intermediates use __-prefixed temp names, NOT n_tokens/n_stopwords:
+    this operator doesn't output the counts, and overwrite-then-drop would
+    silently delete a caller's pre-existing columns of those names (e.g.
+    ``langid_heuristic(token_counts(df))``)."""
+    keys = F.transform(tokens(F.col(text_col)), lambda x: _token_key(x))
+    n_tok, n_stop = F.col("__lt"), F.col("__ls")
     return (
-        _with_stopword_counts(df, text_col)
-        .withColumn("en_score", _ratio())
+        df.withColumn("__keys", keys)
+        .withColumn("__lt", F.size("__keys").cast("long"))
+        .withColumn(
+            "__ls",
+            F.size(F.filter(F.col("__keys"), lambda x: x.isin(*EN_STOPWORDS))).cast("long"),
+        )
+        .withColumn(
+            "en_score",
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0)),
+        )
         .withColumn(
             "pred_lang",
             F.when(F.col("en_score") >= 0.05, F.lit("en")).otherwise(F.lit("other")),
         )
-        .drop("n_tokens", "n_stopwords")
+        .drop("__keys", "__lt", "__ls")
     )
 
 

@@ -760,3 +760,63 @@ def test_constraint_propagation_per_session(spark):
     assert spark.conf.get(_CP_KEY) == "false"  # e1 still open on its session
     e1.close()
     assert spark.conf.get(_CP_KEY) == spark_prev
+
+
+def test_exact_dedup_null_text_kept(spark):
+    # NULL text must dedup to ONE representative, not vanish: a plain
+    # equality rejoin on a NULL md5 key matches nothing
+    from nemo_spark.ops.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.text) for r in exact_dedup(df).collect()}
+    assert got == {(1, None), (2, "x")}
+
+
+def test_lsh_short_docs_pair_on_exact_text(spark):
+    # docs under k tokens have empty shingles (all band minhashes NULL), so
+    # band joins can never propose them; byte-identical short docs must
+    # still pair (exact-normalized-text fallback), different ones must NOT
+    from nemo_spark.ops.dedup import dedup_clusters, jaccard_verify, lsh_candidate_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "hello   world"),  # same after whitespace normalization
+            (3, "bye moon"),
+            (4, "a proper long document with many tokens inside it"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.a, r.b) for r in lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # the verified pair survives (empty-vs-empty shingles => jaccard 1.0)
+    verified = {(r.a, r.b) for r in jaccard_verify(lsh_candidate_pairs(df), df).collect()}
+    assert (1, 2) in verified and all(3 not in p for p in verified)
+    clusters = {r.doc_id: r.cluster_id for r in dedup_clusters(df).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_fingerprint_edge_whitespace_invariant(spark):
+    # trailing newline (ubiquitous in scraped docs) must collide with the
+    # clean text: collapse-then-trim, not trim-then-collapse
+    from nemo_spark.ops.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world\n"), (3, "\t hello world \n")],
+        "doc_id long, text string",
+    )
+    fps = {r.fp_md5 for r in fingerprint(df).collect()}
+    assert len(fps) == 1
+
+
+def test_langid_preserves_existing_count_columns(spark):
+    # langid must not clobber-and-drop a caller's n_tokens/n_stopwords
+    from nemo_spark.ops.text import langid_heuristic, token_counts
+
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], "doc_id long, text string")
+    out = langid_heuristic(token_counts(df))
+    row = out.select("n_tokens", "n_distinct_tokens", "pred_lang", "en_score").collect()[0]
+    assert row.n_tokens == 6 and row.pred_lang == "en"

@@ -178,3 +178,10 @@ def test_stream_store_names_disjoint_per_query(tmp_path):
     # explicit store_name always wins; no checkpoint = legacy bare name
     assert _store_name("edge", "mine", str(tmp_path / "ckptA")) == "mine"
     assert _store_name("edge", None, None) == "stream_edge"
+
+
+def test_resize_plan_extreme_aspect_ratio(spark):
+    # 1x2000 at max_side 512: a truncating cast plans a 0-width resize
+    assets = spark.createDataFrame([(9, 1, 2000)], "asset_id long, width int, height int")
+    r = resize_metadata(assets, max_side=512).collect()[0]
+    assert r.needs_resize is True and r.target_w >= 1 and r.target_h == 512
