@@ -93,16 +93,27 @@ def read_dsv_typed(
             )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        header_seen: set[str] = set()
+        # the header is the first NON-BLANK record (the csv crate skips
+        # blank lines before taking the header), so a file starting with a
+        # blank line must not burn its header-skip on the blank — the real
+        # header row would then import as a fact. `awaiting` arms on the
+        # file's offset-0 line and fires on its first non-blank line.
+        awaiting: set[str] = set()
+        armed: set[str] = set()
         for pdf in batches:
             if pdf.empty:
                 continue
             cols: list[list] = [[] for _ in keep]
             for val, fname, off in zip(pdf["value"], pdf["__f"], pdf["__o"]):
-                if ignore_headers and off == 0 and fname not in header_seen:
-                    header_seen.add(fname)
-                    continue
+                # __o is the file-BLOCK start (same value for every line of
+                # the block), so arm once per file, on its first seen line
+                if ignore_headers and off == 0 and fname not in armed:
+                    armed.add(fname)
+                    awaiting.add(fname)
                 if val is None or val == "":
+                    continue
+                if ignore_headers and fname in awaiting:
+                    awaiting.discard(fname)
                     continue
                 if quoting:
                     try:
@@ -119,7 +130,7 @@ def read_dsv_typed(
                     continue  # typed format parse error => row skipped
                 for c, v in zip(cols, vals):
                     c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})
-            yield pd.DataFrame({f"c{j}": cols[j] for j in range(len(keep))})
+            yield pd.DataFrame({f"c{j}": pd.Series(cols[j], dtype="object") for j in range(len(keep))})
 
     return src.mapInPandas(parse, schema=out_schema)
 
@@ -149,11 +160,11 @@ def _read_dsv_whole_files(
             for text in pdf["value"]:
                 first = True
                 for rec in _csv.reader(_io.StringIO(text), delimiter=delimiter):
+                    if not rec:
+                        continue  # blank line — never consumes the header skip
                     is_first, first = first, False
                     if ignore_headers and is_first:
                         continue
-                    if not rec:
-                        continue  # blank line
                     if len(rec) != total:
                         continue  # flexible records: wrong arity => skipped
                     try:
@@ -162,7 +173,7 @@ def _read_dsv_whole_files(
                         continue  # typed format parse error => row skipped
                     for c, v in zip(cols, vals):
                         c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})
-            yield pd.DataFrame({f"c{j}": cols[j] for j in range(len(keep))})
+            yield pd.DataFrame({f"c{j}": pd.Series(cols[j], dtype="object") for j in range(len(keep))})
 
     return spark.read.text(path, wholetext=True).mapInPandas(parse, schema=out_schema)
 

@@ -24,12 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 from nemo_spark.model.values import VALUE_SCHEMA, Value
 
 
-def _flatten(doc) -> list[tuple[Value, Value, Value]]:
+def _flatten(doc, base: int = 0) -> list[tuple[Value, Value, Value]]:
+    """Flatten one document; node ids are ``base + DFS index``. ``base``
+    keeps ids from different documents of one multi-file read disjoint —
+    the reference reads ONE document per import (ids 0..n), so base=0
+    reproduces it exactly for single-file reads."""
+    from nemo_spark.model.values import ValueError_
+
     type_iri = Value.iri("type")
     value_iri = Value.iri("value")
     out = []
-    counter = [0]
-    stack = [(0, doc)]
+    counter = [base]
+    stack = [(base, doc)]
     while stack:
         oid, cur = stack.pop()
         idv = Value.int(oid)
@@ -40,7 +46,16 @@ def _flatten(doc) -> list[tuple[Value, Value, Value]]:
             out.append((idv, value_iri, Value.boolean(cur)))
         elif isinstance(cur, (int, float)):
             out.append((idv, type_iri, Value.string("number")))
-            v = Value.int(cur) if isinstance(cur, int) else Value.double(cur)
+            if isinstance(cur, int):
+                # reader.rs:108-118 number dispatch: i64, else u64, else
+                # f64 (serde_json parses arbitrary-size ints; past u64 the
+                # reference stores the lossy double, not an import error)
+                try:
+                    v = Value.int(cur)
+                except ValueError_:
+                    v = Value.double(float(cur))
+            else:
+                v = Value.double(cur)
             out.append((idv, value_iri, v))
         elif isinstance(cur, str):
             out.append((idv, type_iri, Value.string("string")))
@@ -69,24 +84,35 @@ def read_json_typed(spark: SparkSession, path: str, patterns=None) -> DataFrame:
     after the full ternary expansion was transferred."""
     from nemo_spark.sources.patterns import apply_patterns, pattern_output_arity
 
+    from pyspark.sql import functions as F
+
     patterns = tuple(patterns or ())
     ncols = pattern_output_arity(patterns, 3)
     schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(ncols))
-    src = spark.read.text(path, wholetext=True)
+    src = spark.read.text(path, wholetext=True).select(
+        "value", F.input_file_name().alias("__file")
+    )
+    # per-document node-id bases: ids restart at 0 per document, so a
+    # multi-file read would merge unrelated nodes (node 0 of file A ==
+    # node 0 of file B). Enumerate the files once driver-side (one tiny
+    # job over file NAMES only) and give each document a disjoint 2^40
+    # id range; a single-file read keeps base 0 = reference-exact ids.
+    files = sorted(r["__file"] for r in src.select("__file").distinct().collect())
+    bases = {f: i << 40 for i, f in enumerate(files)} if len(files) > 1 else {}
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols: list[list] = [[] for _ in range(ncols)]
-            for text in pdf["value"]:
+            for text, fname in zip(pdf["value"], pdf["__file"]):
                 if not text or not text.strip():
                     continue
                 doc = json.loads(text)
-                for row in _flatten(doc):
+                for row in _flatten(doc, bases.get(fname, 0)):
                     out = apply_patterns(row, patterns)
                     if out is None:
                         continue
                     for c, v in zip(cols, out):
                         c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})
-            yield pd.DataFrame({f"c{i}": cols[i] for i in range(ncols)})
+            yield pd.DataFrame({f"c{i}": pd.Series(cols[i], dtype="object") for i in range(ncols)})
 
     return src.mapInPandas(parse, schema=schema)

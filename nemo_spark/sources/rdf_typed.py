@@ -23,16 +23,23 @@ from nemo_spark.model.values import (
     unescape_string,
 )
 
+# subjects are IRIs or blank nodes ONLY (a literal subject is malformed
+# N-Triples — the reference's rio parser rejects the line)
+_NT_SUBJ = r"(<[^>]*>|_:\S+)"
 _TERM = r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)'
-_NT_RE = re.compile(rf"^\s*{_TERM}\s+(<[^>]*>)\s+{_TERM}\s*(?:(<[^>]*>|_:\S+)\s*)?\.\s*(?:#.*)?$")
+_NT_RE = re.compile(rf"^\s*{_NT_SUBJ}\s+(<[^>]*>)\s+{_TERM}\s*(?:(<[^>]*>|_:\S+)\s*)?\.\s*(?:#.*)?$")
 _LIT_RE = re.compile(r'^"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?$')
 
 
-def _term_value(tok: str) -> Value:
+def _term_value(tok: str, scope: str = "") -> Value:
     if tok.startswith("<"):
         return Value.iri(tok[1:-1])
     if tok.startswith("_:"):
-        return Value.null(tok[2:])
+        # blank nodes are DOCUMENT-scoped: the reference mints fresh nulls
+        # per reader (reader.rs:40-46 bnode_map), so _:b1 from two files or
+        # two imports must never unify — same convention as the Turtle
+        # parser's '<scope>e.' namespace
+        return Value.null(f"{scope}e.{tok[2:]}" if scope else tok[2:])
     m = _LIT_RE.match(tok)
     if not m:
         raise ValueError_(f"bad RDF term {tok!r}")
@@ -49,7 +56,16 @@ def read_rdf_typed(spark: SparkSession, path: str, fmt: str = "rdf") -> DataFram
     (graph, subj, pred, obj) for N-Quads/TriG. Format by extension when
     ``fmt='rdf'`` (reference: nemo/src/io/formats/rdf.rs:67-91 variants)."""
     if fmt == "rdf":
-        ext = path.rsplit(".", 1)[-1].lower()
+        # sniff on the name with any compression extension stripped —
+        # 'data.nt.gz' is gzipped N-Triples (spark.read.text decompresses
+        # transparently; the reference strips the compression extension
+        # before format sniffing too)
+        name = path.lower()
+        for comp in (".gz", ".bz2", ".zst"):
+            if name.endswith(comp):
+                name = name[: -len(comp)]
+                break
+        ext = name.rsplit(".", 1)[-1]
         fmt = {
             "nt": "ntriples", "nq": "nquads", "ttl": "turtle",
             "trig": "trig", "rdf": "rdfxml", "xml": "rdfxml",
@@ -63,28 +79,40 @@ def read_rdf_typed(spark: SparkSession, path: str, fmt: str = "rdf") -> DataFram
     schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(ncols))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        scopes: dict[str, str] = {}
         for pdf in batches:
             cols: list[list] = [[] for _ in range(ncols)]
-            for line in pdf["value"]:
+            for line, fname in zip(pdf["value"], pdf["__file"]):
                 if not line or line.lstrip().startswith("#"):
                     continue
                 m = _NT_RE.match(line)
                 if not m:
                     continue  # malformed triples are skipped (reference behaviour)
+                if not quads and m.group(4):
+                    continue  # a 4-term line is malformed N-TRIPLES — skip it
+                scope = scopes.get(fname)
+                if scope is None:
+                    scope = hashlib.md5(fname.encode()).hexdigest()[:8] + "."
+                    scopes[fname] = scope
                 toks = [m.group(1), m.group(2), m.group(3)]
                 if quads:
                     # graph name comes FIRST in the predicate layout
                     # (reference rdf reader; see nquads testcase rule shape)
                     toks = [m.group(4) or f"<{DEFAULT_GRAPH_IRI}>"] + toks
                 try:
-                    vals = [_term_value(t) for t in toks[:ncols]]
+                    vals = [_term_value(t, scope) for t in toks[:ncols]]
                 except ValueError_:
                     continue
                 for c, v in zip(cols, vals):
                     c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})
-            yield pd.DataFrame({f"c{i}": cols[i] for i in range(ncols)})
+            yield pd.DataFrame({f"c{i}": pd.Series(cols[i], dtype="object") for i in range(ncols)})
 
-    return spark.read.text(path).mapInPandas(parse, schema=schema)
+    from pyspark.sql import functions as F
+
+    src = spark.read.text(path).select("value", F.input_file_name().alias("__file"))
+    return src.mapInPandas(parse, schema=schema)
 
 
 # ------------------------------------------------- Turtle / TriG / RDF-XML
@@ -275,7 +303,16 @@ class _TurtleParser:
 
     def _term(self, t: str) -> Value:
         if t.startswith("<"):
-            return Value.iri(t[1:-1])
+            iri = t[1:-1]
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+                # resolve relative IRIs against @base (RFC 3986 join;
+                # '<>' denotes the base itself) — an unresolved relative
+                # IRI silently fails to join with absolute IRIs from any
+                # other source
+                from urllib.parse import urljoin
+
+                iri = urljoin(self.base, iri)
+            return Value.iri(iri)
         if t.startswith("_:"):
             return Value.null(f"{self.scope}e.{t[2:]}" if self.scope else t[2:])
         if t.startswith('"'):
@@ -395,7 +432,7 @@ def _read_rdf_doc(spark: SparkSession, path: str, fmt: str) -> DataFrame:
                 for row in rows:
                     for c, v in zip(cols, row):
                         c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})
-            yield pd.DataFrame({f"c{i}": cols[i] for i in range(ncols)})
+            yield pd.DataFrame({f"c{i}": pd.Series(cols[i], dtype="object") for i in range(ncols)})
 
     return spark.read.text(path, wholetext=True).mapInPandas(parse, schema=schema)
 

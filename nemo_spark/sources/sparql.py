@@ -183,6 +183,35 @@ def _term_sparql(v: Value | None) -> str:
     return quote_string(v.lexical()) + f"^^<{v.datatype_iri()}>"
 
 
+def _skip_string(s: str, i: int) -> int:
+    """``i`` points at an opening quote; return the index just past the
+    string's close. Handles SPARQL long literals (\"\"\"...\"\"\" and
+    '''...''') as well as short ones — a scanner that pairs the triple
+    quotes as short strings leaves the literal's interior visible to brace
+    counting / variable renaming and corrupts the query."""
+    q = s[i]
+    n = len(s)
+    if s[i : i + 3] == q * 3:
+        j = i + 3
+        while j < n:
+            if s[j] == "\\":
+                j += 2
+                continue
+            if s[j : j + 3] == q * 3:
+                return j + 3
+            j += 1
+        return n
+    j = i + 1
+    while j < n:
+        if s[j] == "\\":
+            j += 2
+            continue
+        if s[j] == q:
+            return j + 1
+        j += 1
+    return n
+
+
 def _last_group_close(query: str) -> int:
     """Index of the last '}' OUTSIDE quotes, IRIs and # comments — a brace
     inside a trailing comment must not receive the VALUES injection (the
@@ -192,16 +221,7 @@ def _last_group_close(query: str) -> int:
     while i < n:
         c = query[i]
         if c in ('"', "'"):
-            q = c
-            i += 1
-            while i < n:
-                if query[i] == "\\":
-                    i += 2
-                    continue
-                if query[i] == q:
-                    i += 1
-                    break
-                i += 1
+            i = _skip_string(query, i)
         elif c == "<":
             j = query.find(">", i)
             i = n if j < 0 else j + 1
@@ -253,6 +273,23 @@ def _paged_chunks(
     return out
 
 
+def _select_arity(query: str) -> int | None:
+    """Number of projected variables of a SELECT query, or None when it
+    can't be determined textually (SELECT *, expressions aside — AS-aliased
+    expressions still count one ?var each, which is the alias)."""
+    import re as _re
+
+    m = _re.search(r"SELECT\s+(?:DISTINCT\s+|REDUCED\s+)?(.*?)\bWHERE\b", query, _re.I | _re.S)
+    if not m or "*" in m.group(1) or "(" in m.group(1):
+        # SELECT * / (expr AS ?alias) projections: not countable textually
+        return None
+    seen: list[str] = []
+    for v in _re.findall(r"[?$](\w+)", m.group(1)):
+        if v not in seen:
+            seen.append(v)
+    return len(seen) or None
+
+
 def read_sparql_typed(
     spark: SparkSession,
     endpoint: str,
@@ -274,8 +311,15 @@ def read_sparql_typed(
     """
     if bindings is not None and not list(bindings[1]):
         # zero binding rows: the restricted result is empty by definition —
-        # never fall through to an unrestricted whole-endpoint dump
-        n = len([f for f in (formats or []) if f != "skip"]) or len(bindings[0])
+        # never fall through to an unrestricted whole-endpoint dump. Arity
+        # comes from formats, else the query's SELECT projection (the
+        # restricted variables are a SUBSET of the projection, so
+        # len(bindings[0]) would under-count and break downstream unions)
+        n = (
+            len([f for f in (formats or []) if f != "skip"])
+            or _select_arity(query)
+            or len(bindings[0])
+        )
         schema = ", ".join(f"c{i} {VALUE_SCHEMA}" for i in range(max(n, 1)))
         return spark.createDataFrame([], schema)
     chunks: list[list[tuple] | None] = (
@@ -388,16 +432,7 @@ def _rename_query_vars(body: str, rename: dict, idx: int) -> str:
             out.append(body[i:j])
             i = j
         elif c in ('"', "'"):
-            quote = c
-            j = i + 1
-            while j < n:
-                if body[j] == "\\":
-                    j += 2
-                    continue
-                if body[j] == quote:
-                    j += 1
-                    break
-                j += 1
+            j = _skip_string(body, i)
             out.append(body[i:j])
             i = j
         elif c == "#":
@@ -469,9 +504,17 @@ def sparql_deferred_loader(
                 release_staging(mark)
             return semi_join_loader(full_cache[0])(bindings)
         vars_ = [variables[pos] for pos, _ in shared]
-        return read_sparql_typed(
+        # materialize + release: a recursive rule calls this loader once per
+        # application, and each call stages fetched TSV pages to disk — the
+        # pages are already fully fetched (driver-side HTTP) by the time
+        # read_sparql_typed returns, so checkpointing costs one small local
+        # job and prevents unbounded staging-dir growth across rounds
+        mark = staging_mark()
+        out = read_sparql_typed(
             spark, endpoint, query, formats=formats, bindings=(vars_, _binding_rows(rows))
-        )
+        ).localCheckpoint(eager=True)
+        release_staging(mark)
+        return out
 
     # merge metadata: lets the engine coalesce several import atoms of one
     # rule against the same endpoint into ONE remote query (merge_sparql.rs)
@@ -512,6 +555,6 @@ def _tsv_files_to_typed(
                     continue
                 for c, v in zip(cols, vals):
                     c.append({"t": v.t, "i": v.i, "d": v.d, "s": v.s})
-            yield pd.DataFrame({f"c{j}": cols[j] for j in range(len(keep))})
+            yield pd.DataFrame({f"c{j}": pd.Series(cols[j], dtype="object") for j in range(len(keep))})
 
     return src.mapInPandas(parse, schema=out_schema)

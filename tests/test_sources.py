@@ -175,3 +175,113 @@ def test_checkpoint_store_hardening(spark, tmp_path):
     os.makedirs(str(tmp_path / "s" / "p" / "step=7"))
     with _pytest.raises(ValueError, match="incomplete"):
         store.load("p", 7)
+
+
+def test_nt_bnodes_scoped_per_file(spark, tmp_path):
+    # the reference mints fresh nulls per reader (reader.rs:40-46): _:b1
+    # from two files must NOT unify
+    from nemo_spark.sources.rdf_typed import read_rdf_typed
+
+    (tmp_path / "f1.nt").write_text("_:b1 <p> <o1> .\n")
+    (tmp_path / "f2.nt").write_text("_:b1 <p> <o2> .\n")
+    a = read_rdf_typed(spark, str(tmp_path / "f1.nt"), fmt="ntriples").collect()
+    b = read_rdf_typed(spark, str(tmp_path / "f2.nt"), fmt="ntriples").collect()
+    assert len(a) == 1 and len(b) == 1
+    assert a[0]["c0"] != b[0]["c0"]  # document-scoped blank nodes
+
+
+def test_nt_rejects_malformed_lines(spark, tmp_path):
+    from nemo_spark.sources.rdf_typed import read_rdf_typed
+
+    (tmp_path / "m.nt").write_text(
+        '"literal subject" <p> <o> .\n'      # literal subject: malformed
+        "<s> <p> <o> <g> .\n"                 # quad in ntriples: malformed
+        "<s> <p> <o> .\n"                     # valid
+    )
+    rows = read_rdf_typed(spark, str(tmp_path / "m.nt"), fmt="ntriples").collect()
+    assert len(rows) == 1
+
+
+def test_turtle_base_resolves_relative_iris(spark, tmp_path):
+    from nemo_spark.model.values import Value
+    from nemo_spark.sources.rdf_typed import read_rdf_typed
+
+    (tmp_path / "b.ttl").write_text("@base <http://ex/> .\n<foo> <bar> <> .\n")
+    rows = read_rdf_typed(spark, str(tmp_path / "b.ttl"), fmt="turtle").collect()
+    vals = [Value(r[c]["t"], r[c]["i"], r[c]["d"], r[c]["s"]) for r in rows for c in ("c0", "c1", "c2")]
+    assert [v.lexical() for v in vals] == ["http://ex/foo", "http://ex/bar", "http://ex/"]
+
+
+def test_rdf_gz_extension_sniffing(spark, tmp_path):
+    import gzip
+
+    from nemo_spark.sources.rdf_typed import read_rdf_typed
+
+    p = tmp_path / "d.nt.gz"
+    p.write_bytes(gzip.compress(b"<s> <p> <o> .\n"))
+    rows = read_rdf_typed(spark, str(p), fmt="rdf").collect()
+    assert len(rows) == 1
+
+
+def test_json_multi_file_node_ids_disjoint(spark, tmp_path):
+    from nemo_spark.model.values import Value
+    from nemo_spark.sources.json_typed import read_json_typed
+
+    (tmp_path / "a.json").write_text('{"k": "va"}')
+    (tmp_path / "b.json").write_text('{"k": "vb"}')
+    rows = read_json_typed(spark, str(tmp_path)).collect()
+    # node 0 of file A must not merge with node 0 of file B: the two roots
+    # have distinct ids, and each (id, <type>, "object") appears once
+    roots = {
+        r["c0"]["i"]
+        for r in rows
+        if Value(r["c2"]["t"], r["c2"]["i"], r["c2"]["d"], r["c2"]["s"]).lexical() == "object"
+    }
+    assert len(roots) == 2
+    # single-file read keeps reference-exact ids (root = 0)
+    one = read_json_typed(spark, str(tmp_path / "a.json")).collect()
+    assert min(r["c0"]["i"] for r in one) == 0
+
+
+def test_json_huge_int_falls_back_to_double(spark, tmp_path):
+    # reader.rs:108-118: i64 -> u64 -> lossy f64, never an import error
+    from nemo_spark.model.values import T_DOUBLE
+    from nemo_spark.sources.json_typed import read_json_typed
+
+    (tmp_path / "n.json").write_text("18446744073709551616")  # 2^64
+    rows = read_json_typed(spark, str(tmp_path / "n.json")).collect()
+    vals = [r["c2"] for r in rows]
+    assert any(v["t"] == T_DOUBLE and v["d"] == float(2**64) for v in vals)
+
+
+def test_dsv_blank_line_before_header(spark, tmp_path):
+    # the csv crate skips blank lines BEFORE taking the header record: a
+    # leading blank line must not burn the header skip (importing the real
+    # header as a fact)
+    from nemo_spark.model.values import Value
+    from nemo_spark.sources.dsv_typed import read_dsv_typed
+
+    (tmp_path / "h.csv").write_text("\nname,age\nalice,31\nbob,44\n")
+    rows = read_dsv_typed(
+        spark, str(tmp_path / "h.csv"), ["string", "int"], ignore_headers=True
+    ).collect()
+    got = {
+        (
+            Value(r["c0"]["t"], r["c0"]["i"], r["c0"]["d"], r["c0"]["s"]).lexical(),
+            Value(r["c1"]["t"], r["c1"]["i"], r["c1"]["d"], r["c1"]["s"]).lexical(),
+        )
+        for r in rows
+    }
+    assert got == {("alice", "31"), ("bob", "44")}
+
+
+def test_sparql_values_injection_skips_long_literals():
+    from nemo_spark.sources.sparql import query_with_values
+    from nemo_spark.model.values import Value
+
+    q = 'SELECT ?s WHERE { ?s ?p """said " } done""" }'
+    out = query_with_values(q, ["s"], [(Value.iri("x"),)])
+    # the VALUES block lands before the real group close, not inside the
+    # long literal's embedded '}'
+    assert out.index("VALUES") > out.index('done"""')
+    assert out.rstrip().endswith("}")
