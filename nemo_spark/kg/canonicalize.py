@@ -57,15 +57,24 @@ def connected_components(
     O(diameter) shuffles. ``'hashmin'`` stays available (fewer per-round
     jobs; fine when the diameter is known-small).
     """
+    if method not in ("auto", "star", "hashmin"):
+        # validate BEFORE any probe job or the small-graph fast path: a
+        # typo'd method must not succeed on test-sized inputs and only
+        # explode on production-sized ones
+        raise ValueError(f"unknown cc method: {method}")
     # NULL-endpoint normalization, identical for every path: an edge with
     # one NULL endpoint registers its non-null node as an isolated self-edge
     # (SQL join semantics — NULL connects nothing), a both-NULL edge drops.
     # Without this the distributed path emitted a bogus (NULL, label) row
     # while the single-task path composed through None keys. Gated behind a
-    # cheap short-circuit probe so null-free inputs (the common case) don't
-    # carry the extra union in every fixpoint round's plan.
+    # probe so null-free inputs (the common case) don't carry the extra
+    # union in every fixpoint round's plan. The probe short-circuits on the
+    # first null row but costs a full scan when there are none — the
+    # schema-nullability check skips even that for engine-internal frames
+    # whose columns are provably non-null.
+    nullable = edges.schema[src].nullable or edges.schema[dst].nullable
     both = F.col(src).isNotNull() & F.col(dst).isNotNull()
-    if not edges.where(~both).limit(1).isEmpty():
+    if nullable and not edges.where(~both).limit(1).isEmpty():
         half = (
             edges.where(~both & (F.col(src).isNotNull() | F.col(dst).isNotNull()))
             .select(F.coalesce(F.col(src), F.col(dst)).alias(src))
@@ -82,8 +91,6 @@ def connected_components(
         and edges.limit(small_graph_threshold + 1).count() <= small_graph_threshold
     ):
         return _small_graph_cc(edges, src, dst)
-    if method not in ("auto", "star", "hashmin"):
-        raise ValueError(f"unknown cc method: {method}")
     if method in ("auto", "star"):
         return _star_cc(edges, src, dst, checkpoint_every, max_rounds, checkpoint_store)
     sym = (
@@ -101,6 +108,7 @@ def connected_components(
         .persist()
     )
     rounds = 0
+    changed = 0
     # persisted: the handle that OWNS each round's cache entry — unpersist
     # must run on the persisted DataFrame itself, not a derived plan
     # (Spark's cache lookup is by plan; old.unpersist() on a drop()
@@ -123,7 +131,12 @@ def connected_components(
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
         ).persist()
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        # full count, not limit(1): the probe is also what materializes the
+        # persist — an early-exit count caches only the partitions it
+        # touched, and unpersisting the previous round then forces the
+        # uncached rest to recompute through the whole inter-checkpoint
+        # lineage window
+        changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if checkpoint_store is not None and rounds % checkpoint_every == 0:
             labels = checkpoint_store.snapshot("cc_labels", labels, rounds)
@@ -134,6 +147,16 @@ def connected_components(
         log.debug("cc round %d changed=%s %.2fs", rounds, bool(changed), time.time() - t0)
         if not changed:
             break
+    if changed:
+        # LOUD cap (same contract as the engine's fixpoint round cap):
+        # returning labels that were still changing is silent corruption —
+        # nodes of one component would carry different labels
+        persisted.unpersist()
+        sym.unpersist()
+        raise ValueError(
+            f"connected_components(hashmin) did not converge in {max_rounds} rounds "
+            f"(graph diameter exceeds the cap); raise max_rounds or use method='star'"
+        )
     result = labels.select(F.col("node"), F.col("label").alias("component")).localCheckpoint(
         eager=True
     )
@@ -202,6 +225,7 @@ def _star_cc(
         return out.filter(F.col("u") != F.col("v")).dropDuplicates()
 
     rounds = 0
+    changed = 0
     while rounds < max_rounds:
         rounds += 1
         t0 = time.time()
@@ -218,6 +242,12 @@ def _star_cc(
         log.debug("star-cc round %d changed=%s %.2fs", rounds, bool(changed), time.time() - t0)
         if not changed:
             break
+    if changed:
+        raise ValueError(
+            f"connected_components(star) did not converge in {max_rounds} rounds; "
+            f"raise max_rounds (star CC needs O(log n) rounds — hitting a cap of "
+            f"{max_rounds} indicates something is deeply wrong with the input)"
+        )
     # stars: every remaining edge points node -> root; isolated nodes self-root
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return (

@@ -2,14 +2,17 @@
 
 nemo analogy: this is our EDB "import" stage — raw text becomes ternary
 (subj, pred, obj) facts, like nemo's DSV/RDF readers turn files into
-predicates (``nemo/src/io/formats/``). Two implementations with identical
-output on any text:
+predicates (``nemo/src/io/formats/``). Two implementations:
 
 - :func:`extract_triples_expr` — pure Catalyst (regexp), whole-stage codegen,
-  zero Python. Preferred when the mention grammar is regular.
+  zero Python. FIRST sentence-anchored match per turn only (``TRIPLE_RE``
+  is ^-anchored) — identical to the pandas path on the synthetic corpus
+  (one leading relation per turn) but NOT on free text with mid-turn or
+  multiple relations.
 - :func:`extract_triples_pandas` — vectorized Arrow-batched ``mapInPandas``
   (the general path for arbitrary mention detectors; NO per-row Python —
-  regex is applied per Arrow batch via pandas ``str.extractall``).
+  regex is applied per Arrow batch via pandas ``str.extractall``): EVERY
+  occurrence in the turn, anywhere in the text.
 
 Scale notes: extraction is embarrassingly parallel per turn. We repartition by
 (conv_id, turn_idx) — NOT conv_id alone — so the planted hot conversation

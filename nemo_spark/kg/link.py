@@ -210,26 +210,42 @@ def link_embedding(
     return mentions.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
 
-# (digest -> Broadcast) of the two most recent entity matrices: repeated
-# link_embedding calls with the same dictionary (a per-micro-batch loop)
-# reuse ONE broadcast instead of leaking a new generation per call; on a
-# dictionary change the evicted broadcast is destroyed once no job needs it
-_BC_CACHE: "dict[bytes, object]" = {}
+# (app-id, digest) -> Broadcast of the two most recent entity matrices:
+# repeated link_embedding calls with the same dictionary (a per-micro-batch
+# loop) reuse ONE broadcast instead of leaking a new generation per call;
+# on a dictionary change the evicted broadcast is unpersisted (NOT
+# destroyed — lazy frames returned earlier may still reference it; a
+# destroyed broadcast fails their evaluation, an unpersisted one
+# re-broadcasts on demand)
+_BC_CACHE: "dict[tuple, object]" = {}
 
 
 def _broadcast_cached(spark, ent_ids, eunit):
     import hashlib
 
-    digest = hashlib.md5(ent_ids.tobytes() + eunit.tobytes()).digest()
-    bc = _BC_CACHE.get(digest)
+    # hash VALUE bytes: ent_ids is an object array for string entity ids,
+    # and ndarray.tobytes() on object dtype returns raw PyObject POINTER
+    # bytes — every rebuild of the same dictionary would miss (new string
+    # objects, new addresses), and a recycled address could silently HIT
+    # for a different dictionary, returning stale entity ids
+    id_bytes = b"\x00".join(str(x).encode("utf-8") for x in ent_ids.tolist())
+    digest = hashlib.md5(id_bytes + b"\x01" + eunit.tobytes()).digest()
+    # key per SparkContext: a cached Broadcast belongs to its context — a
+    # session restart with the same dictionary must not serve a Broadcast
+    # bound to a stopped SparkContext
+    key = (spark.sparkContext.applicationId, digest)
+    bc = _BC_CACHE.get(key)
     if bc is None:
         bc = spark.sparkContext.broadcast((ent_ids, eunit))
-        _BC_CACHE[digest] = bc
+        _BC_CACHE[key] = bc
         while len(_BC_CACHE) > 2:
             old_key = next(iter(_BC_CACHE))
-            if old_key == digest:
+            if old_key == key:
                 break
-            _BC_CACHE.pop(old_key).unpersist(blocking=False)
+            try:
+                _BC_CACHE.pop(old_key).unpersist(blocking=False)
+            except Exception:
+                pass  # broadcast of a stopped SparkContext: nothing to release
     return bc
 
 

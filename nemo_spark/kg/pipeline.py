@@ -49,7 +49,7 @@ def run_pipeline(
     transcripts: DataFrame,
     alias_dict: DataFrame | None = None,
     checkpoint_store: CheckpointStore | None = None,
-    extractor: str = "features",  # features | pandas | arrow | expr
+    extractor: str = "features",  # features | features_pandas | pandas | arrow | expr | reduced
     transitive_preds: tuple[str, ...] = ("located_in",),
 ) -> PipelineResult:
     metrics: dict = {}
@@ -80,22 +80,29 @@ def run_pipeline(
     # (triples + mentions + quality + langid + dedup fingerprint), in its
     # Arrow/RE2 form (~2x the pandas variant, identical output — A/B in
     # tests/test_ops.py::test_feature_extractors_identical)
-    extract_fns = {
-        "features": extract_turn_features_arrow,
-        "features_pandas": extract_turn_features_pandas,
-        "pandas": extract_triples_pandas,
-        "expr": extract_triples_expr,
-    }
-    if extractor == "reduced":
+    def _reduced():
         from nemo_spark.kg.extract import extract_triples_reduced_pandas
 
-        extract_fn = extract_triples_reduced_pandas
-    elif extractor == "arrow":
+        return extract_triples_reduced_pandas
+
+    def _arrow():
         from nemo_spark.kg.extract import extract_triples_arrow
 
-        extract_fn = extract_triples_arrow
-    else:
-        extract_fn = extract_fns[extractor]
+        return extract_triples_arrow
+
+    extract_fns = {
+        "features": lambda: extract_turn_features_arrow,
+        "features_pandas": lambda: extract_turn_features_pandas,
+        "pandas": lambda: extract_triples_pandas,
+        "expr": lambda: extract_triples_expr,
+        "reduced": _reduced,
+        "arrow": _arrow,
+    }
+    if extractor not in extract_fns:
+        raise ValueError(
+            f"unknown extractor {extractor!r}: choose from {sorted(extract_fns)}"
+        )
+    extract_fn = extract_fns[extractor]()
     triples_raw = stage("triples_raw", lambda: extract_fn(transcripts), 1)
 
     # 2+3. canonical map: CC over the (alias, entity) bipartite graph.

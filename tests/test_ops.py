@@ -820,3 +820,44 @@ def test_langid_preserves_existing_count_columns(spark):
     out = langid_heuristic(token_counts(df))
     row = out.select("n_tokens", "n_distinct_tokens", "pred_lang", "en_score").collect()[0]
     assert row.n_tokens == 6 and row.pred_lang == "en"
+
+
+def test_cc_unconverged_raises_loudly(spark):
+    # hash-min on a diameter-5 chain with max_rounds=2: returning
+    # still-changing labels would be silent corruption — must raise
+    from nemo_spark.kg.canonicalize import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(
+            chain, method="hashmin", small_graph_threshold=0, max_rounds=2
+        ).collect()
+    # a typo'd method fails up front, even on small-graph inputs
+    with pytest.raises(ValueError, match="unknown cc method"):
+        connected_components(chain, method="hash-min")
+
+
+def test_broadcast_cache_hits_on_value_equal_string_ids(spark):
+    # object-dtype id arrays: the digest must hash VALUES, not PyObject
+    # pointers — a rebuilt identical dictionary must reuse the broadcast,
+    # and same-vectors/different-ids must NOT collide
+    import numpy as np
+
+    from nemo_spark.kg.link import _BC_CACHE, _broadcast_cached
+
+    _BC_CACHE.clear()
+    vecs = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    a = _broadcast_cached(spark, np.asarray(["e1", "e2"], dtype=object), vecs)
+    b = _broadcast_cached(spark, np.asarray(["e" + "1", "e" + "2"], dtype=object), vecs.copy())
+    assert a is b  # fresh string objects, same values -> cache hit
+    c = _broadcast_cached(spark, np.asarray(["f1", "f2"], dtype=object), vecs)
+    assert c is not a  # different ids, same vectors -> distinct broadcast
+    _BC_CACHE.clear()
+
+
+def test_pipeline_unknown_extractor_raises(spark):
+    from nemo_spark.kg.pipeline import run_pipeline
+    from nemo_spark.kg.transcripts import synth_transcripts
+
+    with pytest.raises(ValueError, match="unknown extractor"):
+        run_pipeline(spark, synth_transcripts(spark, 100), extractor="features-pandas")
