@@ -71,6 +71,12 @@ class LocalFixpoint:
         stratum_idx: int = 0,
     ) -> None:
         self.tables = {p: set(rows) for p, rows in tables.items()}
+        # append-ordered row lists backing the incremental index cache:
+        # tables grow monotonically, so a cached index only ever needs the
+        # rows appended since its cursor
+        self._rows_list: dict[str, list] = {p: list(rows) for p, rows in self.tables.items()}
+        # (pred, key-signature) -> (index dict, consumed-rows cursor)
+        self._idx_cache: dict[tuple, tuple[dict, int]] = {}
         self.chase = chase
         self.typed = typed
         self.stratum_idx = stratum_idx  # qualifies auto rule labels
@@ -110,6 +116,7 @@ class LocalFixpoint:
                         fresh = rows - tbl
                         if fresh:
                             tbl |= fresh
+                            self._rows_list.setdefault(derived_pred, []).extend(fresh)
                             self.derived[derived_pred] |= fresh
                             next_deltas[derived_pred] |= fresh
                             new_any = True
@@ -147,10 +154,13 @@ class LocalFixpoint:
         per atom, quadratic at the 100k default threshold."""
         out = [dict()]
         for i, atom in enumerate(rule.body):
-            src = deltas.get(atom.pred, set()) if (variant is not None and i == variant) else self.tables.get(atom.pred, set())
-            if not src and not (variant is not None and i == variant):
+            is_delta = variant is not None and i == variant
+            src = deltas.get(atom.pred, set()) if is_delta else self.tables.get(atom.pred, set())
+            if not src and not is_delta:
                 return []
-            out = self._join_atom(atom, src, out)
+            # delta sources are small and transient — index them fresh;
+            # full-table sources use the incremental per-(pred, key) cache
+            out = self._join_atom(atom, src, out, cache_pred=None if is_delta else atom.pred)
             if not out:
                 return []
         # negation: drop bindings with a matching negated fact (hash-probed
@@ -160,7 +170,7 @@ class LocalFixpoint:
             if not facts or not out:
                 continue
             key_pos = self._key_positions(natom, set(out[0]))
-            index = self._index(facts, key_pos)
+            index = self._cached_index(natom.pred, key_pos)
             out = [
                 b
                 for b in out
@@ -191,11 +201,34 @@ class LocalFixpoint:
             index.setdefault(tuple(row[j] for j, _, _ in key_pos), []).append(row)
         return index
 
+    def _cached_index(self, pred: str, key_pos) -> dict:
+        """Incremental hash index over a FULL table: tables only grow, so a
+        cached index advances its cursor over the append-ordered row list
+        instead of re-indexing the whole (near-static) table every variant
+        of every rule of every round — the rebuild was O(rounds x |table|)
+        on the deep-recursion workloads this module exists to accelerate."""
+        sig = (pred, tuple((j, name, c) for j, name, c in key_pos))
+        rows = self._rows_list.get(pred, [])
+        index, cursor = self._idx_cache.get(sig, ({}, 0))
+        for row in rows[cursor:]:
+            index.setdefault(tuple(row[j] for j, _, _ in key_pos), []).append(row)
+        self._idx_cache[sig] = (index, len(rows))
+        return index
+
     @staticmethod
     def _probe_key(key_pos, binding: dict) -> tuple:
         return tuple(c if name is None else binding[name] for _, name, c in key_pos)
 
-    def _join_atom(self, atom: Atom, src, out: list[dict]) -> list[dict]:
+    def _check_binding_budget(self, nxt: list) -> None:
+        if len(nxt) > self.max_derived:
+            # cap INTERMEDIATE bindings too: small inputs do not bound a
+            # cartesian/skewed join's output, and the documented fallback
+            # must fire BEFORE the driver materializes billions of dicts
+            raise LocalOverflow(
+                f"local fixpoint built > {self.max_derived} intermediate bindings"
+            )
+
+    def _join_atom(self, atom: Atom, src, out: list[dict], cache_pred: str | None = None) -> list[dict]:
         if not out:
             return []
         key_pos = self._key_positions(atom, set(out[0]))
@@ -207,13 +240,19 @@ class LocalFixpoint:
                     nb = self._match(atom, row, b)
                     if nb is not None:
                         nxt.append(nb)
+                self._check_binding_budget(nxt)
             return nxt
-        index = self._index(src, key_pos)
+        if cache_pred is not None:
+            index = self._cached_index(cache_pred, key_pos)
+        else:
+            index = self._index(src, key_pos)
         for b in out:
             for row in index.get(self._probe_key(key_pos, b), ()):
                 nb = self._match(atom, row, b)
                 if nb is not None:
                     nxt.append(nb)
+            if len(nxt) > self.max_derived:
+                self._check_binding_budget(nxt)
         return nxt
 
     @staticmethod

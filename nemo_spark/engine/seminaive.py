@@ -503,8 +503,17 @@ class SemiNaiveEngine:
         # inline facts (nemo: SimpleTable, management/database/sources.rs:14)
         for p, rows in program.facts.items():
             df = self.spark.createDataFrame(rows, _cols(self._arity[p]))
-            self._tables[p] = self._tables[p].unionByName(df).dropDuplicates() if p in self._tables else df
-            self._table_counts[p] = self._tables[p].count()
+            if p in self._history_tables:
+                # the predicate's state lives in the managed history table:
+                # a memory-only union would be REPLACED by spark.table(tbl)
+                # on the next bucketed merge, silently dropping these facts —
+                # append them through the same merge path derived facts use
+                self._merge(p, df)
+            else:
+                self._tables[p] = (
+                    self._tables[p].unionByName(df).dropDuplicates() if p in self._tables else df
+                )
+                self._table_counts[p] = self._tables[p].count()
             self._base_tables[p] = (
                 self._base_tables[p].unionByName(df).dropDuplicates()
                 if p in self._base_tables
@@ -514,7 +523,11 @@ class SemiNaiveEngine:
         strata = stratify(program)
         for si, s in enumerate(strata):
             for ri, r in enumerate(s):
-                self._rules_by_label.setdefault(_rule_label(r, si, ri), r)
+                # OVERWRITE, not setdefault: auto labels ('rule_0') collide
+                # across run()/extend() calls on one engine, and trace_tree
+                # must resolve a label to the rule of the call that RECORDED
+                # the provenance — latest wins
+                self._rules_by_label[_rule_label(r, si, ri)] = r
                 self._label_of[id(r)] = _rule_label(r, si, ri)
         for stratum_idx, rules in enumerate(strata):
             self._run_stratum(stratum_idx, rules)
@@ -576,7 +589,11 @@ class SemiNaiveEngine:
         strata = stratify(program)
         for si, s in enumerate(strata):
             for ri, r in enumerate(s):
-                self._rules_by_label.setdefault(_rule_label(r, si, ri), r)
+                # OVERWRITE, not setdefault: auto labels ('rule_0') collide
+                # across run()/extend() calls on one engine, and trace_tree
+                # must resolve a label to the rule of the call that RECORDED
+                # the provenance — latest wins
+                self._rules_by_label[_rule_label(r, si, ri)] = r
                 self._label_of[id(r)] = _rule_label(r, si, ri)
         monotone = all(not r.negated and r.head_aggregate() is None for s in strata for r in s)
         if not monotone:
@@ -641,31 +658,34 @@ class SemiNaiveEngine:
         delta: dict[str, DataFrame] = {}
         delta_counts: dict[str, int] = {}
         new_any = False
-        for ri, rule in enumerate(rules):
-            t0 = time.time()
-            derived_map = self._eval_rule(rule, {}, {}, use_delta_atom=None)
-            if derived_map is None:
-                continue
-            for hp, derived in derived_map.items():
-                fresh, cnt = self._merge(hp, derived)
-                self._record(stratum_idx, round_idx, _rule_label(rule, stratum_idx, ri), cnt, time.time() - t0)
+        try:
+            for ri, rule in enumerate(rules):
                 t0 = time.time()
-                if cnt:
-                    if self.trace:
-                        self._provenance.append(
-                            (hp, _rule_label(rule, stratum_idx, ri), stratum_idx, round_idx, fresh)
-                        )
-                    new_any = True
-                    # freshes of the same pred are disjoint (each anti-join ran
-                    # against the table already containing earlier freshes),
-                    # so plain union + summed counts are exact — no recount job.
-                    delta[hp] = delta[hp].unionByName(fresh) if hp in delta else fresh
-                    delta_counts[hp] = delta_counts.get(hp, 0) + cnt
-
-        # round-0 results are all checkpoint-materialized by their merges:
-        # SPARQL pages staged for restricted per-application loads this
-        # round are dead weight (bounds staging growth in long fixpoints)
-        release_staging(mark)
+                derived_map = self._eval_rule(rule, {}, {}, use_delta_atom=None)
+                if derived_map is None:
+                    continue
+                for hp, derived in derived_map.items():
+                    fresh, cnt = self._merge(hp, derived)
+                    self._record(stratum_idx, round_idx, _rule_label(rule, stratum_idx, ri), cnt, time.time() - t0)
+                    t0 = time.time()
+                    if cnt:
+                        if self.trace:
+                            self._provenance.append(
+                                (hp, _rule_label(rule, stratum_idx, ri), stratum_idx, round_idx, fresh)
+                            )
+                        new_any = True
+                        # freshes of the same pred are disjoint (each anti-join ran
+                        # against the table already containing earlier freshes),
+                        # so plain union + summed counts are exact — no recount job.
+                        delta[hp] = delta[hp].unionByName(fresh) if hp in delta else fresh
+                        delta_counts[hp] = delta_counts.get(hp, 0) + cnt
+        finally:
+            # round-0 results are all checkpoint-materialized by their merges:
+            # SPARQL pages staged for restricted per-application loads this
+            # round are dead weight (bounds staging growth in long fixpoints).
+            # finally: an evaluation/merge error must not leak the pages for
+            # the session lifetime
+            release_staging(mark)
 
         # Rounds 1..: semi-naive — only delta-reading variants of rules whose
         # body touches a predicate that changed last round. All variants with
@@ -691,76 +711,80 @@ class SemiNaiveEngine:
         while new_any and round_idx < self.max_rounds:
             round_idx += 1
             mark = staging_mark()
-            new_any = False
-            per_pred: dict[str, DataFrame] = {}
-            per_pred_rules: dict[str, list[str]] = {}
-            t_eval: dict[str, float] = {}
-            for ri, rule in enumerate(rules):
-                hot = [
-                    i
-                    for i, a in enumerate(rule.body)
-                    if a.pred in delta and delta_counts.get(a.pred, 0) > 0
-                ]
-                if not hot:
-                    continue
-                t0 = time.time()
-                parts = [
-                    self._eval_rule(rule, delta, delta_counts, use_delta_atom=i)
-                    for i in hot
-                ]
-                parts = [p for p in parts if p is not None]
-                if not parts:
-                    continue
-                merged_map: dict[str, DataFrame] = {}
-                for pm in parts:
-                    for hp, d in pm.items():
-                        merged_map[hp] = merged_map[hp].unionByName(d) if hp in merged_map else d
-                # one shared body evaluation: split its wall across the head
-                # predicates (adding the FULL wall per head double-counted
-                # multi-head rules in report()'s totals)
-                wall = (time.time() - t0) / len(merged_map)
-                for hp, derived in merged_map.items():
-                    per_pred[hp] = per_pred[hp].unionByName(derived) if hp in per_pred else derived
-                    per_pred_rules.setdefault(hp, []).append(_rule_label(rule, stratum_idx, ri))
-                    t_eval[hp] = t_eval.get(hp, 0.0) + wall
-            next_delta: dict[str, DataFrame] = {}
-            next_counts: dict[str, int] = {}
-            # merges of distinct predicates are independent: run them as
-            # concurrent Spark jobs (driver threads) — a round's latency is
-            # then max(merge) instead of sum(merge). The single-threaded
-            # reference applies one rule at a time; this is the distributed
-            # engine's structural win on wide programs.
-            from concurrent.futures import ThreadPoolExecutor
+            try:
+                new_any = False
+                per_pred: dict[str, DataFrame] = {}
+                per_pred_rules: dict[str, list[str]] = {}
+                t_eval: dict[str, float] = {}
+                for ri, rule in enumerate(rules):
+                    hot = [
+                        i
+                        for i, a in enumerate(rule.body)
+                        if a.pred in delta and delta_counts.get(a.pred, 0) > 0
+                    ]
+                    if not hot:
+                        continue
+                    t0 = time.time()
+                    parts = [
+                        self._eval_rule(rule, delta, delta_counts, use_delta_atom=i)
+                        for i in hot
+                    ]
+                    parts = [p for p in parts if p is not None]
+                    if not parts:
+                        continue
+                    merged_map: dict[str, DataFrame] = {}
+                    for pm in parts:
+                        for hp, d in pm.items():
+                            merged_map[hp] = merged_map[hp].unionByName(d) if hp in merged_map else d
+                    # one shared body evaluation: split its wall across the head
+                    # predicates (adding the FULL wall per head double-counted
+                    # multi-head rules in report()'s totals)
+                    wall = (time.time() - t0) / len(merged_map)
+                    for hp, derived in merged_map.items():
+                        per_pred[hp] = per_pred[hp].unionByName(derived) if hp in per_pred else derived
+                        per_pred_rules.setdefault(hp, []).append(_rule_label(rule, stratum_idx, ri))
+                        t_eval[hp] = t_eval.get(hp, 0.0) + wall
+                next_delta: dict[str, DataFrame] = {}
+                next_counts: dict[str, int] = {}
+                # merges of distinct predicates are independent: run them as
+                # concurrent Spark jobs (driver threads) — a round's latency is
+                # then max(merge) instead of sum(merge). The single-threaded
+                # reference applies one rule at a time; this is the distributed
+                # engine's structural win on wide programs.
+                from concurrent.futures import ThreadPoolExecutor
 
-            def do_merge(item):
-                hp, derived = item
-                t0 = time.time()
-                fresh, cnt = self._merge(hp, derived)
-                return hp, fresh, cnt, time.time() - t0
+                def do_merge(item):
+                    hp, derived = item
+                    t0 = time.time()
+                    fresh, cnt = self._merge(hp, derived)
+                    return hp, fresh, cnt, time.time() - t0
 
-            items = list(per_pred.items())
-            if len(items) > 1:
-                with ThreadPoolExecutor(max_workers=min(len(items), 12)) as ex:
-                    results = list(ex.map(do_merge, items))
-            else:
-                results = [do_merge(i) for i in items]
-            for hp, fresh, cnt, wall in results:
-                self._record(
-                    stratum_idx, round_idx, "+".join(per_pred_rules[hp]), cnt,
-                    t_eval.get(hp, 0.0) + wall,
-                )
-                if cnt:
-                    if self.trace:
-                        self._provenance.append(
-                            (hp, "+".join(per_pred_rules[hp]), stratum_idx, round_idx, fresh)
-                        )
-                    new_any = True
-                    next_delta[hp] = fresh
-                    next_counts[hp] = cnt
-            delta, delta_counts = next_delta, next_counts
-            # this round's merges materialized every frame that read staged
-            # SPARQL pages: release them (see _run_stratum round 0)
-            release_staging(mark)
+                items = list(per_pred.items())
+                if len(items) > 1:
+                    with ThreadPoolExecutor(max_workers=min(len(items), 12)) as ex:
+                        results = list(ex.map(do_merge, items))
+                else:
+                    results = [do_merge(i) for i in items]
+                for hp, fresh, cnt, wall in results:
+                    self._record(
+                        stratum_idx, round_idx, "+".join(per_pred_rules[hp]), cnt,
+                        t_eval.get(hp, 0.0) + wall,
+                    )
+                    if cnt:
+                        if self.trace:
+                            self._provenance.append(
+                                (hp, "+".join(per_pred_rules[hp]), stratum_idx, round_idx, fresh)
+                            )
+                        new_any = True
+                        next_delta[hp] = fresh
+                        next_counts[hp] = cnt
+                delta, delta_counts = next_delta, next_counts
+            finally:
+                # this round's merges materialized every frame that read staged
+                # SPARQL pages: release them (see _run_stratum round 0)
+                # finally: a mid-round evaluation/merge error must not
+                # leak this round's staged pages for the session lifetime
+                release_staging(mark)
             # checkpoint cadence: truncate plan lineage (nemo defrag analogue).
             # Bucketed-history predicates are skipped: their handle is already
             # a trivial managed-table scan with no lineage growth, and eagerly
@@ -823,15 +847,27 @@ class SemiNaiveEngine:
 
         t0 = time.time()
         tables: dict[str, set] = {}
-        typed = False
+        typed_flags: list[bool] = []
         for p in preds:
             if p not in self._tables:
                 continue
             rows = set()
             for r in self._tables[p].collect():
+                if any(c is None for c in r):
+                    # SQL-NULL cells have no local equivalent with Spark
+                    # semantics (None == None would JOIN where SQL NULL never
+                    # does, and a None head cell would survive where
+                    # _project_head drops it) — such strata stay distributed
+                    return False
                 rows.add(tuple(tuple(c) if isinstance(c, Row) else c for c in r))
             tables[p] = rows
-            typed = typed or _is_value_struct_df(self._tables[p])
+            typed_flags.append(_is_value_struct_df(self._tables[p]))
+        # a MIXED stratum (typed value-struct tables alongside raw ones)
+        # can't pick one schema/skolem/aggregate convention for its derived
+        # predicates — stay distributed rather than misclassify
+        if len(set(typed_flags)) > 1:
+            return False
+        typed = bool(typed_flags and typed_flags[0])
         lf = LocalFixpoint(
             tables,
             self.chase,
@@ -1643,9 +1679,16 @@ def semi_join_loader(frame: DataFrame) -> Any:
         for posn, name in shared:
             c = F.col(f"__imp.c{posn}") == F.col(f"__bind.{name}")
             cond = c if cond is None else (cond & c)
-        return frame.alias("__imp").join(
-            F.broadcast(keys.alias("__bind")), on=cond, how="left_semi"
-        )
+        # size-gate the broadcast hint: binding keys are usually
+        # dimension-sized (distinct join-column values), but a rule binding
+        # tens of millions of keys mid-fixpoint must not be force-broadcast
+        # into driver memory — past the cap, let AQE pick the semi-join
+        # strategy (the probe is one limit-bounded job)
+        cap = 2_000_000
+        kside = keys.alias("__bind")
+        if keys.limit(cap + 1).count() <= cap:
+            kside = F.broadcast(kside)
+        return frame.alias("__imp").join(kside, on=cond, how="left_semi")
 
     return loader
 

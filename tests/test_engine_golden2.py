@@ -790,3 +790,70 @@ def test_runner_run_is_idempotent(spark):
         r.run()
         r.run()  # no-op, not a deferred/register error
         assert r.table("q").count() == 1
+
+
+def test_local_path_declines_null_cells(spark):
+    # SQL-NULL cells have no local-evaluator equivalent (None == None would
+    # join where SQL NULL never matches): a stratum over a NULL-celled EDB
+    # table must fall to the distributed path and produce Spark semantics
+    from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var
+
+    X, Y = Var("X"), Var("Y")
+    prog = Program(rules=[Rule(Atom("h", X), [Atom("r", X, Y)])])
+    for threshold in (100_000, 0):  # local-eligible vs forced-distributed
+        eng = SemiNaiveEngine(spark, local_stratum_threshold=threshold)
+        eng.register("r", spark.createDataFrame([(1, None), (None, 5), (2, 3)], "a int, b int"))
+        eng.run(prog)
+        got = {tuple(r) for r in eng.table("h").collect()}
+        # row (1, NULL): head var X=1 is non-null -> h(1) survives (Spark
+        # keeps it; only NULL HEAD cells drop). row (NULL, 5): X=NULL -> drops.
+        assert got == {(1,), (2,)}, (threshold, got)
+        eng.close()
+
+
+def test_local_fixpoint_overflow_fires_before_materializing(spark):
+    # the cartesian budget must trip while BUILDING bindings, not after the
+    # full quadratic list is in driver memory
+    import pytest as _pytest
+
+    from nemo_spark.engine.local_fixpoint import LocalFixpoint, LocalOverflow
+    from nemo_spark.model.rules import Atom, Rule, Var
+
+    X, Y = Var("X"), Var("Y")
+    tables = {"a": {(i,) for i in range(2000)}, "b": {(i,) for i in range(2000)}}
+    lf = LocalFixpoint(tables, chase="restricted", typed=False, max_derived=10_000)
+    with _pytest.raises(LocalOverflow):
+        lf.run([Rule(Atom("h", X, Y), [Atom("a", X), Atom("b", Y)])])
+
+
+def test_inline_facts_survive_bucketed_history(spark):
+    # a predicate whose history lives in the managed bucketed table must not
+    # lose inline program facts on the next merge
+    from nemo_spark import Atom, Program, Rule, SemiNaiveEngine, Var
+
+    X, Y, Z = Var("X"), Var("Y"), Var("Z")
+    prog1 = Program(
+        rules=[
+            Rule(Atom("tc", X, Y), [Atom("edge", X, Y)]),
+            Rule(Atom("tc", X, Z), [Atom("tc", X, Y), Atom("edge", Y, Z)]),
+        ]
+    )
+    eng = SemiNaiveEngine(
+        spark, bucket_history=4, bucket_history_threshold=0, local_stratum_threshold=0
+    )
+    eng.register("edge", spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"]))
+    eng.run(prog1)
+    assert "tc" in eng._history_tables  # precondition: history is bucketed
+    # second program adds an INLINE tc fact + a rule that must see it
+    prog2 = Program(
+        rules=[
+            Rule(Atom("tc", X, Y), [Atom("edge", X, Y)]),
+            Rule(Atom("tc", X, Z), [Atom("tc", X, Y), Atom("edge", Y, Z)]),
+        ],
+        facts={"tc": [(9, 1)]},
+    )
+    eng.run(prog2)
+    got = {tuple(r) for r in eng.table("tc").collect()}
+    assert (9, 1) in got  # the inline fact itself survived the merges
+    assert (9, 2) in got and (9, 3) in got  # and the fixpoint extended it
+    eng.close()
