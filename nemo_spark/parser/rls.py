@@ -180,14 +180,18 @@ _TOKEN_RES = [
     ("STRING", r'"(?:[^"\\]|\\.)*"'),
     ("ENCNUM", r"0b[01]+|0o[0-7]+|0x[0-9A-Fa-f]+"),
     ("NUMBER", r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?(?:[fFdD](?![A-Za-z0-9_]))?"),
-    ("PNAME", r"(?:[A-Za-z][A-Za-z0-9_%]*)?:[A-Za-z][A-Za-z0-9_%\-./#]*"),
+    # local part may CONTAIN '.' but not END with one (Turtle PN_LOCAL):
+    # a trailing dot is the statement terminator ('@output ex:result.')
+    ("PNAME", r"(?:[A-Za-z][A-Za-z0-9_%]*)?:[A-Za-z](?:[A-Za-z0-9_%\-./#]*[A-Za-z0-9_%\-/#])?"),
     ("NAME", r"[A-Za-z][A-Za-z0-9_%]*"),
     ("VAR", r"\?[A-Za-z][A-Za-z0-9_]*"),
     ("EVAR", r"![A-Za-z][A-Za-z0-9_]*"),
     ("PARAM", r"\$[A-Za-z][A-Za-z0-9_]*"),
     ("ATTR", r"#\["),  # rule attribute opener; must precede AGG (both start '#')
     ("AGG", r"#[A-Za-z]+"),
-    ("DIRECTIVE", r"@[A-Za-z]+"),
+    # subtags included: "color"@en-US is ONE language tag (without them the
+    # '-US' leaked into arithmetic as string-minus-constant, silently)
+    ("DIRECTIVE", r"@[A-Za-z]+(?:-[A-Za-z0-9]+)*"),
     ("IRIREF", r"<[^<>\s]*>"),
     ("WILDCARD", r"_[A-Za-z0-9_]*"),
     ("ARROW", r":-"),
@@ -493,7 +497,9 @@ class Parser:
     def _unary(self):
         if self.accept("OP", "-"):
             inner = self._unary()
-            if isinstance(inner, TNum):
+            # fold the sign into the literal ONCE: '-(-5)' must become
+            # INVERTSIGN(-5), not the invalid lexical '--5'
+            if isinstance(inner, TNum) and not inner.text.startswith("-"):
                 return TNum("-" + inner.text, inner.marker, inner.radix)
             return TCall("INVERTSIGN", (inner,))
         return self._primary()
@@ -571,10 +577,6 @@ class Parser:
             if self.peek().kind == "PUNCT" and self.peek().text == "{":
                 self.next()
                 return self._map_body(TName(t.text))
-            if t.text == "true":
-                return TName("true")
-            if t.text == "false":
-                return TName("false")
             return TName(t.text)
         if t.kind == "PUNCT" and t.text == "(":
             # '()' / '(a, b)' / '(a,)' are tuple terms (complex/tuple.rs);
@@ -648,12 +650,21 @@ class Parser:
                 buf.append(_UNESC.get(body[i + 1], body[i + 1]))
                 i += 2
             elif c == "{":
-                j = body.index("}", i)
+                j = body.find("}", i)
+                if j < 0:
+                    raise SyntaxError(f"rls f-string: unterminated '{{' in {body!r}")
                 if buf:
                     parts.append("".join(buf))
                     buf = []
                 sub = Parser(tokenize(body[i + 1:j]))
-                parts.append(sub._expr())
+                expr = sub._expr()
+                if sub.peek().kind != "EOF":
+                    # a slot is ONE expression: silently dropping trailing
+                    # tokens turned typos into wrong output strings
+                    raise SyntaxError(
+                        f"rls f-string: trailing input in expression slot {body[i + 1:j]!r}"
+                    )
+                parts.append(expr)
                 i = j + 1
             else:
                 buf.append(c)

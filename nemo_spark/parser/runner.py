@@ -127,18 +127,35 @@ class RlsRunner:
     def _eval_option_node(self, node, imp) -> Value:
         from nemo_spark.parser.rls import TCall, TFString, TName
 
-        env: dict[str, Value] = {}
-        ge = GroundEval(_ResolverView(self.compiled), self.compiled.params)
-        for item in getattr(imp, "body", []):
-            kind, e = item if isinstance(item, tuple) else ("expr", item)
-            if (
-                isinstance(e, TCall)
-                and e.fn == "EQUALITY"
-                and isinstance(e.args[0], TVar)
-            ):
-                env[e.args[0].name] = ge.eval(e.args[1])
+        # env/GroundEval cached per import AST: each option lookup was
+        # rebuilding the resolver and re-evaluating every import-body
+        # assignment (6+ lookups per DSV import)
+        cache = getattr(self, "_opt_env_cache", None)
+        if cache is None:
+            cache = self._opt_env_cache = {}
+        cached = cache.get(id(imp))
+        if cached is not None:
+            env, ge = cached
+        else:
+            env = {}
+            ge = GroundEval(_ResolverView(self.compiled), self.compiled.params)
+            for item in getattr(imp, "body", []):
+                kind, e = item if isinstance(item, tuple) else ("expr", item)
+                if (
+                    isinstance(e, TCall)
+                    and e.fn == "EQUALITY"
+                    and isinstance(e.args[0], TVar)
+                ):
+                    env[e.args[0].name] = ge.eval(e.args[1])
+            cache[id(imp)] = (env, ge)
 
         def ev(n):
+            if isinstance(n, TName) and n.name not in ("true", "false"):
+                # option keyword values (csv, gzip, string, int, ...) are
+                # enum tokens, NOT IRIs to resolve: a program-level @base
+                # must not expand format=(string, int) into
+                # 'http://base/string' (which breaks the parser lookups)
+                return Value.iri(n.name)
             if isinstance(n, TVar):
                 if n.name not in env:
                     raise CompileError(f"unbound option variable ?{n.name}")

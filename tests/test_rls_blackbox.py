@@ -227,3 +227,47 @@ def test_write_exports_matches_serialized(spark, rls_rel, tmp_path):
             with open(part, newline="") as f:
                 got += [tuple(rec) for rec in _csv.reader(f, delimiter=sep)]
         assert sorted(got) == want, f"{rls_rel}:{name}"
+
+
+def test_parser_edge_cases(spark, tmp_path):
+    """Round-6 parser fixes, each reproduced as a live failure first."""
+    import pytest as _pytest
+
+    from nemo_spark.parser.rls import parse_rls, parse_term
+
+    # 1. pname local part may contain but not END with '.' — the trailing
+    # dot is the statement terminator
+    ast = parse_rls("@prefix ex: <http://e.org/> . p(ex:a.b). @output ex:result.")
+    assert len(ast.facts) == 1 and ast.facts[0].terms[0].local == "a.b"
+
+    # 2. language subtags are one tag ('-US' used to leak into arithmetic)
+    ast = parse_rls('p("color"@en-US).')
+    assert ast.facts[0].terms[0].lang == "en-US"
+
+    # 3. double negation folds once: -(-5) == 5, not the lexical '--5'
+    from nemo_spark.parser.runner import RlsRunner
+
+    r = RlsRunner(spark, source="p(-(-5)) . q(?x) :- p(?x) . @output q .").run()
+    assert [tuple(x) for x in r.serialized("q").collect()] == [("5",)]
+
+    # 4. f-string slots reject trailing tokens / unterminated braces loudly
+    with _pytest.raises(SyntaxError, match="trailing input"):
+        parse_term('f"{?x ?y}"')
+    with _pytest.raises(SyntaxError, match="unterminated"):
+        parse_term('f"{?x"')
+
+    # 5. @base must not expand bare option keywords (format/compression are
+    # enum tokens, not IRIs)
+    (tmp_path / "data.csv").write_text("alice,31\nbob,44\n")
+    r2 = RlsRunner(
+        spark,
+        source="""
+        @base <http://example.org/> .
+        @import p :- csv {resource="data.csv", format=(string, int)} .
+        q(?x, ?y) :- p(?x, ?y) .
+        @output q .
+        """,
+        workdir=str(tmp_path),
+    ).run()
+    rows = sorted(tuple(x) for x in r2.serialized("http://example.org/q").collect())
+    assert rows == [('"alice"', "31"), ('"bob"', "44")]
