@@ -46,11 +46,17 @@ def num_int_division(a: Column, b: Column) -> Column:
     Exact at full i64 range: (a - a % b) is divisible by b, computed in
     decimal(38,0) to avoid double rounding."""
     exact = (a - (a % b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")
-    return F.when(b != F.lit(0), exact.cast("long")).otherwise(F.lit(None))
+    # i64::MIN / -1 overflows (checked_div => None); the bare cast would
+    # ANSI-abort the whole query on that legal input
+    ok = (b != F.lit(0)) & ~((a == F.lit(-(2**63))) & (b == F.lit(-1)))
+    return F.when(ok, exact.try_cast("long")).otherwise(F.lit(None))
 
 
 def num_remainder(a: Column, b: Column) -> Column:
-    return F.when(b != F.lit(0), a % b).otherwise(F.lit(None))
+    # i64::MIN % -1 is checked_rem overflow (no result) in the reference;
+    # Spark's long remainder quietly returns 0 there
+    ok = (b != F.lit(0)) & ~((a == F.lit(-(2**63))) & (b == F.lit(-1)))
+    return F.when(ok, a % b).otherwise(F.lit(None))
 
 
 def num_power(a: Column, b: Column) -> Column:
@@ -65,11 +71,13 @@ def num_logarithm(a: Column, base: Column) -> Column:
 
 
 def num_absolute(a: Column) -> Column:
-    return F.abs(a)
+    # abs(i64::MIN) ANSI-aborts; checked_abs => no result (null)
+    return F.when(a >= 0, a).otherwise(F.try_subtract(F.lit(0), a))
 
 
 def num_negation(a: Column) -> Column:
-    return -a
+    # -(i64::MIN) ANSI-aborts; checked_neg => no result (null)
+    return F.try_subtract(F.lit(0), a)
 
 
 def num_squareroot(a: Column) -> Column:
@@ -110,8 +118,10 @@ def num_maximum(*cols: Column) -> Column:
 
 
 def num_lukasiewicz(a: Column, b: Column) -> Column:
-    """Łukasiewicz t-norm: max(0, a + b - 1)."""
-    return F.greatest(F.lit(0.0), a + b - F.lit(1.0))
+    """Łukasiewicz t-norm: max(0, a + b - 1), computed in double — the
+    fuzzy domain is [0, 1], and a long+long sum at i64 extremes would
+    ANSI-abort before the double subtraction."""
+    return F.greatest(F.lit(0.0), a.cast("double") + b.cast("double") - F.lit(1.0))
 
 
 # ----------------------------------------------------------------- bit ops
@@ -218,8 +228,12 @@ def str_uppercase(s: Column) -> Column:
 
 
 def str_uriencode(s: Column) -> Column:
-    # url_encode is form-style ('+' for space); nemo percent-encodes
-    return F.replace(F.url_encode(s), F.lit("+"), F.lit("%20"))
+    # url_encode is Java form-style; nemo percent-encodes with the RFC 3986
+    # unreserved set (urlencoding::encode — bare A-Za-z0-9-_.~). Diffs:
+    # space ('+' vs %20), '*' (bare vs %2A), '~' (%7E vs bare)
+    out = F.replace(F.url_encode(s), F.lit("+"), F.lit("%20"))
+    out = F.replace(out, F.lit("*"), F.lit("%2A"))
+    return F.replace(out, F.lit("%7E"), F.lit("~"))
 
 
 def str_uridecode(s: Column) -> Column:
@@ -239,8 +253,10 @@ def str_compare(a: Column, b: Column) -> Column:
 
 
 def fstring(fmt: str, *cols: Column) -> Column:
-    """nemo f-strings (parser/ast/expression/complex/fstring.rs) — '{}' slots."""
-    return F.format_string(fmt.replace("{}", "%s"), *cols)
+    """nemo f-strings (parser/ast/expression/complex/fstring.rs) — '{}' slots.
+    Literal '%' is escaped FIRST: java.util.Formatter would otherwise read
+    it as a conversion and abort the query ('100% of {}')."""
+    return F.format_string(fmt.replace("%", "%%").replace("{}", "%s"), *cols)
 
 
 # ------------------------------------------------------------------- casts

@@ -179,9 +179,16 @@ def _int_pow(a: Column, b: Column) -> Column:
     # double with an exactness check (exact up to 2^53; larger exact powers
     # of magnitude < 2^63 are extremely sparse — documented approximation).
     d = F.pow(a.cast("double"), b.cast("double"))
-    # STRICT <: float(I64_MAX) rounds to exactly 2^63, so <= admitted the
-    # boundary (POW(2,63) saturated to i64::MAX instead of no-result)
-    ok = (b >= F.lit(0)) & (F.abs(d) < F.lit(float(I64_MAX))) & ~F.isnan(d)
+    # bounds: float(I64_MAX) rounds to exactly 2^63, so the upper check is
+    # STRICT < (POW(2,63) must be no-result); the lower bound ADMITS
+    # -2^63 == i64::MIN exactly — abs(d) < 2^63 wrongly rejected POW(-2,63),
+    # which the reference's checked_pow returns as Some(i64::MIN)
+    ok = (
+        (b >= F.lit(0))
+        & (d >= F.lit(float(I64_MIN)))
+        & (d < F.lit(float(I64_MAX)))
+        & ~F.isnan(d)
+    )
     return F.when(ok, d.try_cast("long")).otherwise(F.lit(None).cast("long"))
 
 
@@ -204,15 +211,23 @@ def _int_log(a: Column, b: Column) -> Column:
     # (integer64.rs:84). float log then integer verification.
     # F.log(base, col) needs a literal base; compute log-ratio instead
     approx = F.floor(F.log(a.cast("double")) / F.log(b.cast("double"))).cast("long")
-    # verify via exact integer powers around the approximation
-    lo = F.when(F.try_multiply(_int_pow_exactish(b, approx + 1), F.lit(1)) <= a, approx + 1).otherwise(approx)
-    res = F.when(_int_pow_exactish(b, lo) > a, lo - 1).otherwise(lo)
+    # verify via exact integer powers around the approximation; an
+    # overflowed power is NULL = "beyond i64" (a saturating I64_MAX
+    # sentinel compared EQUAL to a == i64::MAX, so LOG(i64::MAX, 2)
+    # returned 64 where ilog2 is 62)
+    lo = F.when(_int_pow_exactish(b, approx + 1) <= a, approx + 1).otherwise(approx)
+    pe = _int_pow_exactish(b, lo)
+    # NULL power == overflowed == certainly > a
+    res = F.when(pe.isNull() | (pe > a), lo - 1).otherwise(lo)
     return F.when((a > 0) & (b >= 2), res).otherwise(F.lit(None).cast("long"))
 
 
 def _int_pow_exactish(base: Column, e: Column) -> Column:
+    # base >= 2, e >= 0 here, so d is positive; NULL = overflows i64
     d = F.pow(base.cast("double"), e.cast("double"))
-    return F.when(F.abs(d) < F.lit(float(I64_MAX)), d.try_cast("long")).otherwise(F.lit(I64_MAX))
+    return F.when(d < F.lit(float(I64_MAX)), d.try_cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
 
 
 def t_sum(a: Column, b: Column) -> Column:
@@ -480,13 +495,26 @@ def t_strafter(a: Column, b: Column) -> Column:
 
 
 def t_substring(a: Column, start: Column, length: Column | None = None) -> Column:
-    """SUBSTR, 1-based; start/length are integer values."""
+    """SUBSTR, 1-based; start/length are integer values.
+
+    Non-positive start CLAMPS to 1 (string.rs:423 ``val.max(1)`` — the
+    reference's own test: start=-1 returns the whole string); Spark's bare
+    ``substr`` would instead count a negative start from the string END.
+    3-arg form (string.rs:700-718): length < 1 => empty string; the slice
+    end is ``start + length`` computed BEFORE the clamp, so a negative
+    start eats into the length; a negative end (usize conversion failure)
+    => no result."""
     s = as_string(a)
     st = F.when(vt(start) == T_INT, vi(start).cast("int")).otherwise(F.lit(None).cast("int"))
+    st1 = F.greatest(st, F.lit(1))
     if length is None:
-        return _guard(s.isNotNull() & st.isNotNull(), wrap_string(F.substr(s, st)))
+        return _guard(s.isNotNull() & st.isNotNull(), wrap_string(F.substr(s, st1)))
     ln = F.when(vt(length) == T_INT, vi(length).cast("int")).otherwise(F.lit(None).cast("int"))
-    return _guard(s.isNotNull() & st.isNotNull() & ln.isNotNull(), wrap_string(F.substr(s, st, ln)))
+    end = st + ln  # pre-clamp start: string.rs:708 uses the raw start here
+    eff = F.greatest(end - st1, F.lit(0))
+    result = F.when(ln < 1, F.lit("")).otherwise(F.substr(s, st1, eff))
+    ok = s.isNotNull() & st.isNotNull() & ln.isNotNull() & ((ln < 1) | (end >= 0))
+    return _guard(ok, wrap_string(result))
 
 
 def t_regex(a: Column, pattern: Column) -> Column:
@@ -507,7 +535,11 @@ def t_upper(a: Column) -> Column:
 
 
 def t_uriencode(a: Column) -> Column:
-    return wrap_string(F.replace(F.url_encode(as_string(a)), F.lit("+"), F.lit("%20")))
+    # RFC 3986 percent-encoding (urlencoding::encode parity): Java's
+    # form-style url_encode differs on space, '*' and '~'
+    from nemo_spark.functions.ops import str_uriencode
+
+    return wrap_string(str_uriencode(as_string(a)))
 
 
 def t_uridecode(a: Column) -> Column:
@@ -814,106 +846,12 @@ def t_cast_iri(a: Column) -> Column:
     )
 
 
-# --------------------------------------------------------------- DSV decode
-
-
-def decode_any_col(c: Column) -> Column:
-    """DSV 'anything' parser as a Catalyst expression
-    (dsv/value_format.rs:parse_any_value_from_string): the Spark-side
-    equivalent of values.parse_dsv_any for bulk CSV ingestion.
-
-    Decimal/typed-literal corner cases (huge integers, nonzero fractions,
-    typed literals) fall back conservatively: integers that fit i64 are INT,
-    fractions become Other(xsd:decimal) with canonical lexical form."""
-    s = F.trim(c)
-    is_empty = s.isNull() | (s == F.lit(""))
-    iri_bracket = s.startswith("<") & s.endswith(">")
-    as_int = s.try_cast("long")
-    # canonical decimal for fractional literals: strip +, leading zeros,
-    # trailing fraction zeros
-    is_decimal = s.rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)$")
-    frac = F.regexp_replace(F.substring_index(s, ".", -1), "0+$", "")
-    has_fraction = F.contains(s, F.lit(".")) & (frac != F.lit(""))
-    ipart = F.regexp_replace(F.substring_index(s, ".", 1), r"^[+-]?0*", "")
-    sign = F.when(s.rlike("^-"), F.lit("-")).otherwise(F.lit(""))
-    canon_dec = F.concat(sign, F.when(ipart == "", F.lit("0")).otherwise(ipart), F.lit("."), frac)
-    int_from_dec = F.when(has_fraction, F.lit(None).cast("long")).otherwise(
-        F.substring_index(s, ".", 1).try_cast("long")
-    )
-    # quoted literal forms
-    q = s.rlike(r'^"')
-    plain_q = s.rlike(r'^"[^"]*"$')
-    lang_q = s.rlike(r'^"[^"]*"@[A-Za-z0-9\-]+$')
-    typed_q = s.rlike(r'^"[^"]*"\^\^<[^>]*>$')
-    q_body = F.regexp_extract(s, r'^"([^"]*)"', 1)
-    q_lang = F.lower(F.regexp_extract(s, r'@([A-Za-z0-9\-]+)$', 1))
-    q_dt = F.regexp_extract(s, r'\^\^<([^>]*)>$', 1)
-    # nemo's fallback IRI token: any cell without '>', ' ' or '\n'
-    # (token.rs:406 is_not("> \n"))
-    iri_like = s.rlike("^[^> \n]+$")
-    typed_val = _decode_typed_literal(q_body, q_dt)
-    return (
-        F.when(is_empty, mk(T_STRING, 0, 0.0, F.lit("")))
-        .when(iri_bracket, mk(T_IRI, 0, 0.0, F.substr(s, F.lit(2), F.length(s) - 2)))
-        .when(s.rlike(r"^[0-9+\-]") & as_int.isNotNull(), mk(T_INT, as_int, 0.0, ""))
-        .when(
-            s.rlike(r"^[0-9+\-]") & is_decimal & has_fraction,
-            mk(T_OTHER, 0, 0.0, F.concat(canon_dec, F.lit(SEP), F.lit(XSD + "decimal"))),
-        )
-        .when(
-            s.rlike(r"^[0-9+\-]") & is_decimal & int_from_dec.isNotNull(),
-            mk(T_INT, int_from_dec, 0.0, ""),
-        )
-        .when(
-            # integer too big for i64: u64 range => ULONG (wrapped), beyond
-            # that => Other(xsd:integer) with canonical digits
-            s.rlike(r"^[0-9+\-]") & is_decimal & _dec38(s).isNotNull()
-            & (_dec38(s) >= 0) & (_dec38(s) <= F.lit(str((1 << 64) - 1)).cast("decimal(38,0)")),
-            mk(T_ULONG, (_dec38(s) - F.lit(str(1 << 64)).cast("decimal(38,0)")).cast("long"), 0.0, ""),
-        )
-        .when(
-            s.rlike(r"^[0-9+\-]") & is_decimal,
-            mk(T_OTHER, 0, 0.0,
-               F.concat(sign, F.when(ipart == "", F.lit("0")).otherwise(ipart),
-                        F.lit(SEP), F.lit(XSD + "integer"))),
-        )
-        .when(q & plain_q, mk(T_STRING, 0, 0.0, q_body))
-        .when(q & lang_q, mk(T_LANG, 0, 0.0, F.concat(q_body, F.lit(SEP), q_lang)))
-        .when(q & typed_q & typed_val.isNotNull(), typed_val)
-        .when(iri_like, mk(T_IRI, 0, 0.0, s))
-        .otherwise(mk(T_STRING, 0, 0.0, s))
-    )
-
-
-def _dec38(s: Column) -> Column:
-    return F.substring_index(s, ".", 1).try_cast("decimal(38,0)")
-
-
-def _decode_typed_literal(lex: Column, dt: Column) -> Column:
-    """Typed-literal decode for the common xsd types; others become OTHER."""
-    as_int = lex.try_cast("long")
-    as_dbl = lex.try_cast("double")
-    return (
-        F.when(
-            dt.isin(*[XSD + t for t in ("long", "int", "short", "byte", "integer",
-                                        "unsignedInt", "unsignedShort", "unsignedByte")])
-            & as_int.isNotNull(),
-            mk(T_INT, as_int, 0.0, ""),
-        )
-        .when(dt == XSD + "string", mk(T_STRING, 0, 0.0, lex))
-        .when(
-            (dt == XSD + "double") & as_dbl.isNotNull() & ~F.isnan(as_dbl)
-            & (F.abs(as_dbl) != F.lit(float("inf"))),
-            mk(T_DOUBLE, 0, as_dbl, ""),
-        )
-        .when(
-            (dt == XSD + "boolean") & lex.isin("true", "1", "false", "0"),
-            mk(T_BOOLEAN, F.when(lex.isin("true", "1"), F.lit(1)).otherwise(F.lit(0)), 0.0, ""),
-        )
-        .otherwise(mk(T_OTHER, 0, 0.0, F.concat(lex, F.lit(SEP), dt)))
-    )
-
-
+# DSV 'anything' decoding happens driver-side in values.parse_dsv_any and
+# inside the Arrow-batched readers; an earlier Catalyst-expression variant
+# (decode_any_col) was removed — it had no callers and its corner-case
+# semantics (xsd range checks, decimal normalization) had drifted from the
+# canonical parser, so the same cell could decode to structurally unequal
+# values depending on the ingestion path.
 def dsv_any_col(a: Column) -> Column:
     """DSV 'anything' export serialization (integers plain, strings quoted,
     IRIs bare, everything else canonical)."""

@@ -154,14 +154,16 @@ class Value:
     def map_of(
         pairs: "list[tuple[Value, Value]]", label: "Value | None" = None
     ) -> "Value":
-        """Ordered map (map_datavalue.rs): key-sorted (BTreeMap — nemo's
-        cross-domain value order, here the struct order), duplicate keys
-        keep the last value, lexical form 'label?{k=v,...}' over canonical
-        strings."""
+        """Ordered map (map_datavalue.rs): key-sorted by nemo's cross-domain
+        VALUE order (BTreeMap) — i.e. ``order_key()``, which compares
+        tuple/map keys element-wise; the raw struct order would sort a
+        structured key by its length field first and store pairs in the
+        wrong canonical order. Duplicate keys keep the last value; lexical
+        form 'label?{k=v,...}' over canonical strings."""
         dedup: dict[tuple, tuple[Value, Value]] = {}
         for k, v in pairs:
             dedup[k.as_row()] = (k, v)
-        items = [dedup[r] for r in sorted(dedup.keys())]
+        items = sorted(dedup.values(), key=lambda kv: kv[0].order_key())
         lex = ",".join(k.canonical() + "=" + v.canonical() for k, v in items)
         head = label.canonical() if label is not None else ""
         return Value(T_MAP, i=len(items), s=head + "{" + lex + "}")

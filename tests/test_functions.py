@@ -148,3 +148,51 @@ def test_double_str_shortest_roundtrip(spark):
 
     for x in (1.0e23, 5.960464477539063e-08, 0.0001, 3.0, -2.5, 1.05e-4):
         assert s(TY.t_str(TY.lit_value(Value.double(x)))) == rust_f64_str(x), x
+
+
+def test_round6_function_edge_fixes(spark):
+    """Boundary fixes verified against the reference's checked arithmetic
+    and the urlencoding crate / string.rs substring semantics."""
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = """
+    pair(-2, 63) . pair(2, 63) . pair(2, 10) .
+    pw(?a, ?b, POW(?a, ?b)) :- pair(?a, ?b) .
+    lg(9223372036854775807, 2) . lg(1000, 10) .
+    lr(?a, ?b, LOG(?a, ?b)) :- lg(?a, ?b) .
+    txt("hello", -3) .
+    sub(?s, ?i, SUBSTR(?s, ?i)) :- txt(?s, ?i) .
+    sub3(?s, ?i, SUBSTR(?s, ?i, 5)) :- txt(?s, ?i) .
+    raw("~a b*c") . ur(?x, URIENCODE(?x)) :- raw(?x) .
+    fs(f"100% of {?a}") :- pair(?a, 10) .
+    @output pw . @output lr . @output sub . @output sub3 . @output ur . @output fs .
+    """
+    r = RlsRunner(spark, source=src).run()
+
+    def rows(p):
+        return sorted(tuple(x) for x in r.serialized(p).collect())
+
+    # POW(-2,63) = i64::MIN (checked_pow Some); POW(2,63) overflows => dropped
+    assert rows("pw") == [("-2", "63", "-9223372036854775808"), ("2", "10", "1024")]
+    # ilog at the i64::MAX boundary: 62, not 64 (the old saturating sentinel
+    # compared equal to the operand)
+    assert rows("lr") == [("1000", "10", "3"), ("9223372036854775807", "2", "62")]
+    # non-positive SUBSTR start clamps to 1 (string.rs val.max(1)); the
+    # 3-arg end uses the PRE-clamp start, so a negative start eats length
+    assert rows("sub") == [('"hello"', "-3", '"hello"')]
+    assert rows("sub3") == [('"hello"', "-3", '"h"')]
+    # RFC 3986 percent-encoding: '~' bare, '*' => %2A, space => %20
+    assert rows("ur") == [('"~a b*c"', '"~a%20b%2Ac"')]
+    # literal '%' in an f-string must not reach java.util.Formatter raw
+    assert rows("fs") == [('"100% of 2"',)]
+
+
+def test_map_keys_sorted_by_value_order():
+    # BTreeMap order = nemo's element-wise cross-domain value order, NOT the
+    # raw struct order (which sorts structured keys by length first)
+    from nemo_spark.model.values import Value
+
+    t9 = Value.tuple_of([Value.int(9)])
+    t11 = Value.tuple_of([Value.int(1), Value.int(1)])
+    m = Value.map_of([(t9, Value.int(0)), (t11, Value.int(0))])
+    assert m.s.index("(1,1)") < m.s.index("(9)")
