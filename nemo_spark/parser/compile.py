@@ -273,6 +273,361 @@ def _g_ge(a, b):
     return _g_numcmp(a, b, lambda x, y: x >= y)
 
 
+# ---- round-6 widening: the reference evaluates EVERY operation over ground
+# terms (facts like p(SQRT(16)).); these mirror the Catalyst layer's
+# semantics (functions/typed.py), with Python integers making the checked
+# i64 arithmetic exact.
+
+
+def _gv_arith1(a: Value, int_fn, dbl_fn) -> Value:
+    k, v = _gv_num(a)
+    if k == "i":
+        return Value.int(_check_i64(int_fn(v)))
+    if k == "f":
+        return Value.float32(dbl_fn(v))
+    return Value.double(dbl_fn(float(v)))
+
+
+def _gv_str(v: Value) -> str:
+    from nemo_spark.model.values import T_STRING
+
+    if v.t != T_STRING:
+        raise ValueError_("not a plain string")
+    return v.s
+
+
+def _gv_bool(v: Value) -> bool:
+    from nemo_spark.model.values import T_BOOLEAN
+
+    if v.t != T_BOOLEAN:
+        raise ValueError_("not a boolean")
+    return bool(v.i)
+
+
+def _gv_int(v: Value) -> int:
+    from nemo_spark.model.values import T_INT
+
+    if v.t != T_INT:
+        raise ValueError_("not an integer")
+    return v.i
+
+
+@_ground("ABS")
+def _g_abs(a):
+    return _gv_arith1(a, abs, abs)
+
+
+@_ground("REM")
+def _g_rem(a, b):
+    import math
+
+    # Rust % truncates toward zero: sign follows the DIVIDEND; /0 and
+    # i64::MIN % -1 are checked_rem errors
+    def irem(x, y):
+        if y == 0 or (x == -(1 << 63) and y == -1):
+            raise ValueError_("rem overflow")
+        q = abs(x) // abs(y)
+        q = q if (x >= 0) == (y >= 0) else -q
+        return x - q * y
+
+    return _gv_arith(a, b, irem, math.fmod)
+
+
+@_ground("POW")
+def _g_pow(a, b):
+    def ipow(x, y):
+        if y < 0:
+            raise ValueError_("negative exponent")  # checked_pow domain
+        return x**y  # exact; _gv_arith's _check_i64 rejects overflow
+
+    return _gv_arith(a, b, ipow, lambda x, y: x**y)
+
+
+@_ground("LOG")
+def _g_log(a, b):
+    import math
+
+    def ilog(x, y):
+        if x <= 0 or y < 2:
+            raise ValueError_("ilog domain")  # integer64.rs:84
+        r, p = 0, 1
+        while p * y <= x:
+            p *= y
+            r += 1
+        return r
+
+    return _gv_arith(a, b, ilog, lambda x, y: math.log(x) / math.log(y))
+
+
+@_ground("SQRT")
+def _g_sqrt(a):
+    import math
+
+    def isqrt_(x):
+        if x < 0:
+            raise ValueError_("sqrt of negative")
+        return math.isqrt(x)
+
+    def fsqrt(x):
+        if x < 0:
+            raise ValueError_("sqrt of negative")
+        return math.sqrt(x)
+
+    return _gv_arith1(a, isqrt_, fsqrt)
+
+
+@_ground("MAX")
+def _g_max(a, b):
+    return _gv_arith(a, b, max, max)
+
+
+@_ground("MIN")
+def _g_min(a, b):
+    return _gv_arith(a, b, min, min)
+
+
+@_ground("LUKA")
+def _g_luka(a, b):
+    return _gv_arith(
+        a, b, lambda x, y: max(0, x + y - 1), lambda x, y: max(0.0, x + y - 1.0)
+    )
+
+
+def _round_half_away(x: float) -> float:
+    import math
+
+    return float(math.floor(x + 0.5)) if x >= 0 else float(math.ceil(x - 0.5))
+
+
+@_ground("ROUND")
+def _g_round(a):
+    return _gv_arith1(a, lambda x: x, _round_half_away)
+
+
+@_ground("CEIL")
+def _g_ceil(a):
+    import math
+
+    return _gv_arith1(a, lambda x: x, lambda x: float(math.ceil(x)))
+
+
+@_ground("FLOOR")
+def _g_floor(a):
+    import math
+
+    return _gv_arith1(a, lambda x: x, lambda x: float(math.floor(x)))
+
+
+@_ground("SIN")
+def _g_sin(a):
+    import math
+
+    return _gv_arith1(a, lambda x: _non_int("SIN"), math.sin)
+
+
+@_ground("COS")
+def _g_cos(a):
+    import math
+
+    return _gv_arith1(a, lambda x: _non_int("COS"), math.cos)
+
+
+@_ground("TAN")
+def _g_tan(a):
+    import math
+
+    return _gv_arith1(a, lambda x: _non_int("TAN"), math.tan)
+
+
+def _non_int(name: str):
+    raise ValueError_(f"{name} is not defined on integers")
+
+
+@_ground("BITAND")
+def _g_bitand(a, b):
+    return Value.int(_gv_int(a) & _gv_int(b))
+
+
+@_ground("BITOR")
+def _g_bitor(a, b):
+    return Value.int(_gv_int(a) | _gv_int(b))
+
+
+@_ground("BITXOR")
+def _g_bitxor(a, b):
+    return Value.int(_gv_int(a) ^ _gv_int(b))
+
+
+@_ground("NOT")
+def _g_not(a):
+    return Value.boolean(not _gv_bool(a))
+
+
+@_ground("AND")
+def _g_and(*vals):
+    bs = [_gv_bool(v) for v in vals]  # every operand checked (t_and parity)
+    return Value.boolean(all(bs))
+
+
+@_ground("OR")
+def _g_or(*vals):
+    bs = [_gv_bool(v) for v in vals]
+    return Value.boolean(any(bs))
+
+
+@_ground("STRLEN")
+def _g_strlen(a):
+    return Value.int(len(_gv_str(a)))
+
+
+@_ground("STRREV")
+def _g_strrev(a):
+    return Value.string(_gv_str(a)[::-1])
+
+
+@_ground("UCASE")
+def _g_ucase(a):
+    return Value.string(_gv_str(a).upper())
+
+
+@_ground("LCASE")
+def _g_lcase(a):
+    return Value.string(_gv_str(a).lower())
+
+
+@_ground("CONTAINS")
+def _g_contains(a, b):
+    return Value.boolean(_gv_str(b) in _gv_str(a))
+
+
+@_ground("STRSTARTS")
+def _g_strstarts(a, b):
+    return Value.boolean(_gv_str(a).startswith(_gv_str(b)))
+
+
+@_ground("STRENDS")
+def _g_strends(a, b):
+    return Value.boolean(_gv_str(a).endswith(_gv_str(b)))
+
+
+@_ground("STRBEFORE")
+def _g_strbefore(a, b):
+    s, sep = _gv_str(a), _gv_str(b)
+    i = s.find(sep)
+    return Value.string(s[:i] if i >= 0 else "")
+
+
+@_ground("STRAFTER")
+def _g_strafter(a, b):
+    s, sep = _gv_str(a), _gv_str(b)
+    i = s.find(sep)
+    return Value.string(s[i + len(sep):] if i >= 0 else "")
+
+
+@_ground("SUBSTR")
+def _g_substr(a, start, length=None):
+    # string.rs:423 / :700-718 semantics, same as functions/typed.t_substring:
+    # non-positive start clamps to 1; 3-arg end uses the PRE-clamp start
+    s = _gv_str(a)
+    st = _gv_int(start)
+    st1 = max(st, 1)
+    if length is None:
+        return Value.string(s[st1 - 1:])
+    ln = _gv_int(length)
+    if ln < 1:
+        return Value.string("")
+    end = st + ln
+    if end < 0:
+        raise ValueError_("substring end underflow")
+    return Value.string(s[st1 - 1 : max(end - 1, st1 - 1)])
+
+
+@_ground("URIENCODE")
+def _g_uriencode(a):
+    from urllib.parse import quote
+
+    # RFC 3986 unreserved set, urlencoding::encode parity
+    return Value.string(quote(_gv_str(a), safe="-_.~"))
+
+
+@_ground("URIDECODE")
+def _g_uridecode(a):
+    from urllib.parse import unquote
+
+    return Value.string(unquote(_gv_str(a)))
+
+
+@_ground("STRLANG")
+def _g_strlang(a, tag):
+    return Value.lang_string(_gv_str(a), _gv_str(tag))
+
+
+@_ground("LANG")
+def _g_lang(a):
+    from nemo_spark.model.values import T_LANG
+
+    if a.t != T_LANG:
+        raise ValueError_("LANG needs a language-tagged string")
+    return Value.string(a.lang_pair()[1])
+
+
+@_ground("DATATYPE")
+def _g_datatype(a):
+    dt = a.datatype_iri()
+    if dt is None:
+        raise ValueError_("value has no datatype")  # nulls: eval error
+    return Value.iri(dt)
+
+
+@_ground("isInteger")
+def _g_is_integer(a):
+    from nemo_spark.model.values import T_INT, T_ULONG
+
+    return Value.boolean(a.t in (T_INT, T_ULONG))
+
+
+@_ground("isFloat")
+def _g_is_float(a):
+    from nemo_spark.model.values import T_FLOAT
+
+    return Value.boolean(a.t == T_FLOAT)
+
+
+@_ground("isDouble")
+def _g_is_double(a):
+    from nemo_spark.model.values import T_DOUBLE
+
+    return Value.boolean(a.t == T_DOUBLE)
+
+
+@_ground("isIri")
+def _g_is_iri(a):
+    from nemo_spark.model.values import T_IRI
+
+    return Value.boolean(a.t == T_IRI)
+
+
+@_ground("isNumeric")
+def _g_is_numeric(a):
+    from nemo_spark.model.values import T_DOUBLE, T_FLOAT, T_INT, T_ULONG
+
+    return Value.boolean(a.t in (T_INT, T_ULONG, T_DOUBLE, T_FLOAT))
+
+
+@_ground("isNull")
+def _g_is_null(a):
+    from nemo_spark.model.values import T_NULL
+
+    return Value.boolean(a.t == T_NULL)
+
+
+@_ground("isString")
+def _g_is_string(a):
+    from nemo_spark.model.values import T_STRING
+
+    return Value.boolean(a.t == T_STRING)
+
+
 class GroundEval:
     """Driver-side evaluation of ground expressions (facts, parameters)."""
 

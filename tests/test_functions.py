@@ -196,3 +196,31 @@ def test_map_keys_sorted_by_value_order():
     t11 = Value.tuple_of([Value.int(1), Value.int(1)])
     m = Value.map_of([(t9, Value.int(0)), (t11, Value.int(0))])
     assert m.s.index("(1,1)") < m.s.index("(9)")
+
+
+def test_ground_function_catalogue(spark):
+    # the reference evaluates every operation over ground terms (facts like
+    # p(SQRT(16)).); round 6 widened _GROUND_FNS from 13 to ~55 names
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = """
+    p(SQRT(16), POW(2, 10), LOG(1000, 10), ABS(-7), REM(-7, 3)) .
+    q(SUBSTR("hello", -3), UCASE("ab"), STRAFTER("a-b", "-"), URIENCODE("~x y*"), STRLEN("abc")) .
+    r(MAX(3, 9), NOT(false), isInteger(5), BITXOR(12, 10), STRBEFORE("a-b", "-")) .
+    @output p . @output q . @output r .
+    """
+    run = RlsRunner(spark, source=src).run()
+
+    def rows(pr):
+        return [tuple(x) for x in run.serialized(pr).collect()]
+
+    assert rows("p") == [("4", "1024", "3", "7", "-1")]  # REM sign = dividend
+    assert rows("q") == [('"hello"', '"AB"', '"b"', '"~x%20y%2A"', "3")]
+    assert rows("r") == [
+        ("9", '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>',
+         '"true"^^<http://www.w3.org/2001/XMLSchema#boolean>', "6", '"a"')
+    ]
+    # a ground evaluation ERROR in a fact follows error-is-no-result: the
+    # fact drops, the program still runs
+    r2 = RlsRunner(spark, source="p(SQRT(-1)) . p(1) . @output p .").run()
+    assert [tuple(x) for x in r2.serialized("p").collect()] == [("1",)]
