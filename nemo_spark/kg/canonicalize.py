@@ -68,28 +68,46 @@ def connected_components(
     # Without this the distributed path emitted a bogus (NULL, label) row
     # while the single-task path composed through None keys. Gated behind a
     # probe so null-free inputs (the common case) don't carry the extra
-    # union in every fixpoint round's plan. The probe short-circuits on the
-    # first null row but costs a full scan when there are none — the
-    # schema-nullability check skips even that for engine-internal frames
-    # whose columns are provably non-null.
+    # union in every fixpoint round's plan. ONE bounded probe answers BOTH
+    # gates when the graph is small: the limit(threshold+1) scan sees every
+    # edge, so it counts null endpoints for free — a separate null probe
+    # would re-derive the whole edge frame a second time (a whole extra
+    # Spark job/barrier per call). The schema-nullability check still skips
+    # the standalone probe for engine-internal frames with provably
+    # non-null columns on the distributed path.
     nullable = edges.schema[src].nullable or edges.schema[dst].nullable
     both = F.col(src).isNotNull() & F.col(dst).isNotNull()
-    if nullable and not edges.where(~both).limit(1).isEmpty():
+    # the single-task path unions both endpoint columns into one node
+    # domain: only sound when their types agree (mixed types also make
+    # min-label CC ill-defined — let the distributed path surface
+    # Spark's coercion consistently)
+    small_ok = bool(small_graph_threshold) and (
+        edges.schema[src].dataType == edges.schema[dst].dataType
+    )
+    n_small = None
+    has_nulls = None
+    if small_ok:
+        row = (
+            edges.limit(small_graph_threshold + 1)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(~both, F.lit(1))).alias("n_bad"),
+            )
+            .first()
+        )
+        if row["n"] <= small_graph_threshold:
+            n_small = row["n"]
+            has_nulls = bool(row["n_bad"])
+    if has_nulls is None:
+        has_nulls = nullable and not edges.where(~both).limit(1).isEmpty()
+    if has_nulls:
         half = (
             edges.where(~both & (F.col(src).isNotNull() | F.col(dst).isNotNull()))
             .select(F.coalesce(F.col(src), F.col(dst)).alias(src))
             .select(F.col(src), F.col(src).alias(dst))
         )
         edges = edges.where(both).select(F.col(src), F.col(dst)).unionByName(half)
-    if (
-        small_graph_threshold
-        # the single-task path unions both endpoint columns into one node
-        # domain: only sound when their types agree (mixed types also make
-        # min-label CC ill-defined — let the distributed path surface
-        # Spark's coercion consistently)
-        and edges.schema[src].dataType == edges.schema[dst].dataType
-        and edges.limit(small_graph_threshold + 1).count() <= small_graph_threshold
-    ):
+    if n_small is not None:
         return _small_graph_cc(edges, src, dst)
     if method in ("auto", "star"):
         return _star_cc(edges, src, dst, checkpoint_every, max_rounds, checkpoint_store)

@@ -279,6 +279,47 @@ def extract_turn_features_arrow(transcripts: DataFrame) -> DataFrame:
     return _with_fp(transcripts).mapInArrow(extract, schema=TURN_FEATURES_SCHEMA)
 
 
+ALIAS_TRIPLES_SCHEMA = "subj_alias string, pred string, obj_alias string"
+
+
+def extract_alias_triples_arrow(transcripts: DataFrame) -> DataFrame:
+    """Triples-only extraction with MAP-SIDE DISTINCT — for consumers that
+    need only the distinct (subj_alias, pred, obj_alias) set, e.g. the
+    pipeline's canonical-triples stage (which dropDuplicates globally right
+    after).
+
+    Identical triple semantics to :func:`extract_turn_features_arrow`'s
+    triple columns (same ``ARROW_TRIPLE_RE``, same RE2 engine), minus the
+    per-turn feature columns and minus the no-match rows (the downstream
+    inner joins drop those anyway). Two scale effects: the Python->JVM
+    return shrinks from O(turns) to O(distinct triples per batch) — the
+    UDF analogue of partial aggregation — and the single-column projection
+    lets Catalyst prune every other transcript column out of the
+    scan/generation (``mapInArrow`` is opaque: selecting three columns from
+    the full feature extractor still computes and ships all eleven)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def extract(batches):
+        for batch in batches:
+            hits = pc.extract_regex(batch.column("text"), pattern=ARROW_TRIPLE_RE)
+            tbl = (
+                pa.table(
+                    {
+                        "subj_alias": pc.struct_field(hits, "subj_alias"),
+                        "pred": pc.struct_field(hits, "pred"),
+                        "obj_alias": pc.struct_field(hits, "obj_alias"),
+                    }
+                )
+                .filter(hits.is_valid())
+                .group_by(["subj_alias", "pred", "obj_alias"])
+                .aggregate([])
+            )
+            yield from tbl.to_batches()
+
+    return transcripts.select("text").mapInArrow(extract, schema=ALIAS_TRIPLES_SCHEMA)
+
+
 REDUCED_TRIPLES_SCHEMA = "subj_alias string, pred string, obj_alias string, n long"
 
 

@@ -121,7 +121,22 @@ def run_pipeline(
         # dedup BEFORE the joins: the alias-level distinct is a map-side
         # partial aggregate that shrinks O(turns) rows to O(|alias triples|),
         # so the canonical joins and final dedup touch only dimension-sized data
-        alias_triples = triples_raw.select("subj_alias", "pred", "obj_alias").dropDuplicates()
+        if checkpoint_store is None and extractor == "features":
+            # project early THROUGH the opaque extractor (r7): this stage
+            # consumes only the three alias columns, but mapInArrow defeats
+            # column pruning — selecting them from the full feature
+            # extractor still runs all eight RE2 passes and ships eleven
+            # columns per turn across the Arrow boundary. The dedicated
+            # triples-only pass (same regex, same engine) reads just `text`
+            # and returns per-batch-distinct triples; triples_raw stays the
+            # lazily-computed full feature table for consumers that ask.
+            # With a checkpoint_store, triples_raw is already materialized —
+            # reading the snapshot beats re-extracting.
+            from nemo_spark.kg.extract import extract_alias_triples_arrow
+
+            alias_triples = extract_alias_triples_arrow(transcripts).dropDuplicates()
+        else:
+            alias_triples = triples_raw.select("subj_alias", "pred", "obj_alias").dropDuplicates()
         out = (
             alias_triples
             .join(s, F.concat(F.lit("a:"), F.col("subj_alias")) == F.col("__sn"), "inner")

@@ -51,11 +51,23 @@ def transitive_closure(
         # (closure composes dst back into src positions, so the types must
         # agree for the operation to be meaningful anyway)
         and edges.schema[src].dataType == edges.schema[dst].dataType
-        # probe at most threshold+1 rows — never a full count of a
-        # 100-TB edge relation just to decide the gate
-        and edges.limit(small_graph_threshold + 1).count() <= small_graph_threshold
     ):
-        return _small_graph_tc(edges, src, dst)
+        # probe at most threshold+1 rows — never a full count of a
+        # 100-TB edge relation just to decide the gate. The same bounded
+        # scan counts NULL endpoints, so the small path's separate null
+        # probe (a second full derivation of the edge frame = one extra
+        # Spark job per closure call) is answered for free.
+        both = F.col(src).isNotNull() & F.col(dst).isNotNull()
+        row = (
+            edges.limit(small_graph_threshold + 1)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(~both, F.lit(1))).alias("n_bad"),
+            )
+            .first()
+        )
+        if row["n"] <= small_graph_threshold:
+            return _small_graph_tc(edges, src, dst, has_nulls=bool(row["n_bad"]))
     tc = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .dropDuplicates()
@@ -110,8 +122,12 @@ def transitive_closure(
     return tc.select(F.col("a").alias(src), F.col("b").alias(dst))
 
 
-def _small_graph_tc(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _small_graph_tc(
+    edges: DataFrame, src: str, dst: str, has_nulls: bool | None = None
+) -> DataFrame:
     """Single-task closure for broadcast-scale graphs (BFS per source).
+    ``has_nulls``: pass the caller's probe answer when it already scanned
+    every edge (the small-graph gate does) so no second probe job runs.
 
     NULL endpoints are split off BEFORE the Python task so pandas never sees
     a null-bearing int column (Arrow would widen it to float64, corrupting
@@ -152,7 +168,9 @@ def _small_graph_tc(edges: DataFrame, src: str, dst: str) -> DataFrame:
     a_n, b_n = F.col("a").isNotNull(), F.col("b").isNotNull()
     # common case: no NULL endpoints — one cheap short-circuit probe beats
     # carrying the 3-join null algebra in every small closure's plan
-    if two.where(~a_n | ~b_n).limit(1).isEmpty():
+    if has_nulls is None:
+        has_nulls = not two.where(~a_n | ~b_n).limit(1).isEmpty()
+    if not has_nulls:
         return two.coalesce(1).mapInPandas(close, schema=schema).select(
             F.col("a").alias(src), F.col("b").alias(dst)
         )

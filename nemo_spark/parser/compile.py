@@ -169,8 +169,24 @@ def _gv_arith(a: Value, b: Value, int_fn, dbl_fn) -> Value:
         r = int_fn(va, vb)
         return Value.int(_check_i64(r))
     if ka == kb == "f":
-        return Value.float32(dbl_fn(va, vb))
-    return Value.double(dbl_fn(float(va), float(vb)))
+        return Value.float32(_gv_dbl(dbl_fn, va, vb))
+    return Value.double(_gv_dbl(dbl_fn, float(va), float(vb)))
+
+
+def _gv_dbl(dbl_fn, *args) -> float:
+    """Evaluate a float branch under error-is-no-result semantics: legal
+    inputs can raise built-in exceptions the fact loop does not catch
+    (POW(0.0,-1.0) -> ZeroDivisionError, POW(1e300,2.0) -> OverflowError,
+    LOG(-1.0,2.0)/REM(1.0,0.0) -> bare ValueError from math) or return a
+    complex (POW(-2.0,0.5)) that Value.double would TypeError on. All map
+    to ValueError_ so the value is simply "no result", like the reference."""
+    try:
+        r = dbl_fn(*args)
+    except (ValueError, ZeroDivisionError, OverflowError, TypeError) as e:
+        raise ValueError_(f"float evaluation error: {e}") from None
+    if isinstance(r, complex):
+        raise ValueError_("complex result")
+    return r
 
 
 def _check_i64(r: int) -> int:
@@ -284,8 +300,8 @@ def _gv_arith1(a: Value, int_fn, dbl_fn) -> Value:
     if k == "i":
         return Value.int(_check_i64(int_fn(v)))
     if k == "f":
-        return Value.float32(dbl_fn(v))
-    return Value.double(dbl_fn(float(v)))
+        return Value.float32(_gv_dbl(dbl_fn, v))
+    return Value.double(_gv_dbl(dbl_fn, float(v)))
 
 
 def _gv_str(v: Value) -> str:

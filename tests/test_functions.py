@@ -224,3 +224,24 @@ def test_ground_function_catalogue(spark):
     # fact drops, the program still runs
     r2 = RlsRunner(spark, source="p(SQRT(-1)) . p(1) . @output p .").run()
     assert [tuple(x) for x in r2.serialized("p").collect()] == [("1",)]
+
+
+def test_ground_float_branch_errors_drop_not_crash(spark):
+    # legal inputs whose float evaluation raises a BUILT-IN exception (or
+    # returns complex) must drop the fact like any other ground error, not
+    # crash program load: POW(-2.0,0.5) -> complex, POW(0.0,-1.0) ->
+    # ZeroDivisionError, POW(1e300,2.0) -> OverflowError, LOG(-1.0,2.0) and
+    # REM(1.0,0.0) -> bare ValueError from math.log/math.fmod
+    from nemo_spark.parser.runner import RlsRunner
+
+    src = """
+    p(POW(-2.0, 0.5)) .
+    p(POW(0.0, -1.0)) .
+    p(POW(1.0E300, 2.0)) .
+    p(LOG(-1.0, 2.0)) .
+    p(REM(1.0, 0.0)) .
+    p(1) .
+    @output p .
+    """
+    run = RlsRunner(spark, source=src).run()
+    assert [tuple(x) for x in run.serialized("p").collect()] == [("1",)]

@@ -483,6 +483,41 @@ def test_feature_extractors_identical(spark):
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_alias_triples_extractor_matches_feature_extractor(spark):
+    """The triples-only map-side-distinct extractor (the pipeline's r7
+    canonical-triples input) must yield exactly the distinct non-null triple
+    set of the full feature extractor — same regex, same engine, minus the
+    per-turn features and the no-match rows the inner joins drop anyway."""
+    from pyspark.sql import functions as F
+
+    from nemo_spark.kg.extract import (
+        extract_alias_triples_arrow,
+        extract_turn_features_arrow,
+    )
+    from nemo_spark.kg.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, 20_000)
+    edge = spark.createDataFrame(
+        [
+            ("e", 0, "entity_1 works_at ent-2 . filler"),
+            ("e", 1, "no relation here"),
+            ("e", 2, None),
+            ("e", 3, ""),
+            ("e", 4, "entity_1 works_at ent-2 . filler"),  # duplicate triple
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    for df in (tr, edge):
+        a = extract_alias_triples_arrow(df).dropDuplicates()
+        b = (
+            extract_turn_features_arrow(df)
+            .select("subj_alias", "pred", "obj_alias")
+            .where(F.col("subj_alias").isNotNull())
+            .dropDuplicates()
+        )
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_jaccard_verify_empty_shingles(spark):
     """Identical docs shorter than k tokens (empty shingle sets) must score
     1.0, not NULL (which silently dropped true duplicates)."""
