@@ -142,7 +142,10 @@ FROM base
 def alias_dict(spark: SparkSession) -> DataFrame:
     """(alias, entity_id) ground-truth dictionary, broadcast side of linking.
     Includes the ambiguous ``E.<k>`` -> ent<k+1> edges for k % 10 == 0."""
-    ks = spark.range(0, N_ENTITIES).select(F.col("id").cast("long").alias("k"))
+    # single partition: a 50-row dimension sliced into defaultParallelism
+    # pieces made every downstream job over the 4-branch union schedule
+    # ~128 near-empty tasks (measured: >half the canonical-map stage wall)
+    ks = spark.range(0, N_ENTITIES, 1, 1).select(F.col("id").cast("long").alias("k"))
     ent = F.concat(F.lit("ent"), F.col("k").cast("string"))
     rows = [
         ks.select(F.concat(F.lit("entity_"), F.col("k").cast("string")).alias("alias"), ent.alias("entity_id")),

@@ -64,6 +64,27 @@ def get_spark(
     return b.getOrCreate()
 
 
+def fan_out(df, min_parallelism: int | None = None):
+    """Spread a narrow scan across the cores: when the frame's physical
+    partitioning is below the session's default parallelism, round-robin
+    repartition it to that width.
+
+    Why: a one-file / one-row-group parquet table produces a single scan
+    split, which pins EVERY downstream map-side operator (shingle and
+    minhash construction, per-row feature expressions) to one core — the
+    optimization guide's "one huge unsplittable file" input-skew case, whose
+    fix is "repartition immediately after the read". The gate makes it
+    scale-adaptive: a production table arrives in hundreds of splits, the
+    condition is false, and no shuffle is added. Predicate pushdown and
+    column pruning survive the repartition (filters push through
+    RepartitionOperation; verified in the scan's PushedFilters)."""
+    spark = df.sparkSession
+    p = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _parallelism_of(master: str) -> int:
     if master.startswith("local["):
         inner = master[len("local[") : -1]
