@@ -84,31 +84,25 @@ def connected_components(
     small_ok = bool(small_graph_threshold) and (
         edges.schema[src].dataType == edges.schema[dst].dataType
     )
-    n_small = None
-    has_nulls = None
     if small_ok:
-        row = (
-            edges.limit(small_graph_threshold + 1)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(~both, F.lit(1))).alias("n_bad"),
-            )
-            .first()
-        )
-        if row["n"] <= small_graph_threshold:
-            n_small = row["n"]
-            has_nulls = bool(row["n_bad"])
-    if has_nulls is None:
-        has_nulls = nullable and not edges.where(~both).limit(1).isEmpty()
-    if has_nulls:
+        # the gate IS the data: collect at most threshold+1 rows (bounded —
+        # never a full materialization of a 100-TB edge relation) and, when
+        # the graph fits, union-find driver-side in ONE Spark job total
+        # (output is linear in nodes, so no size fallback needed). The
+        # former shape spent three jobs — count probe, null probe, single-
+        # task mapInPandas — each re-deriving the edge frame. Same size-
+        # gated local pattern as the engine's <=100k local fixpoint; the
+        # LocalRelation result is free to broadcast downstream.
+        rows = edges.select(F.col(src), F.col(dst)).limit(small_graph_threshold + 1).collect()
+        if len(rows) <= small_graph_threshold:
+            return _local_cc(edges.sparkSession, rows, edges.schema[src].dataType)
+    if nullable and not edges.where(~both).limit(1).isEmpty():
         half = (
             edges.where(~both & (F.col(src).isNotNull() | F.col(dst).isNotNull()))
             .select(F.coalesce(F.col(src), F.col(dst)).alias(src))
             .select(F.col(src), F.col(src).alias(dst))
         )
         edges = edges.where(both).select(F.col(src), F.col(dst)).unionByName(half)
-    if n_small is not None:
-        return _small_graph_cc(edges, src, dst)
     if method in ("auto", "star"):
         return _star_cc(edges, src, dst, checkpoint_every, max_rounds, checkpoint_store)
     sym = (
@@ -274,38 +268,38 @@ def _star_cc(
     )
 
 
-def _small_graph_cc(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Union-find on a single task — for graphs that fit one partition."""
+def _local_cc(spark, rows, dt) -> DataFrame:
+    """Driver-side union-find for gate-collected graphs — the caller already
+    holds every edge (bounded by ``limit(threshold+1).collect()``), so this
+    costs zero extra Spark jobs and returns a LocalRelation. NULL handling
+    matches the distributed path's normalization: a half-NULL edge registers
+    its non-null node as isolated, a both-NULL edge drops."""
+    parent: dict = {}
 
-    def uf(parts):
-        parent: dict = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
 
-        def find(x):
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for part in parts:
-            # positional access: src/dst may not be valid Python
-            # identifiers (itertuples would rename them)
-            for a, b in zip(part.iloc[:, 0], part.iloc[:, 1]):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-        import pandas as pd
-
-        nodes = list(parent)
-        yield pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
-
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None and b is None:
+            continue
+        if a is None or b is None:
+            find(a if b is None else b)  # register as isolated node
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
     from pyspark.sql.types import StructField, StructType
 
-    dt = edges.schema[src].dataType
     schema = StructType([StructField("node", dt), StructField("component", dt)])
-    return edges.select(F.col(src), F.col(dst)).coalesce(1).mapInPandas(uf, schema=schema)
+    nodes = list(parent)
+    return spark.createDataFrame([(n, find(n)) for n in nodes], schema)
 
 
 def canonical_map_from_alias_dict(alias_dict: DataFrame, small_graph_threshold: int = 100_000) -> DataFrame:

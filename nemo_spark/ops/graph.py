@@ -52,22 +52,17 @@ def transitive_closure(
         # agree for the operation to be meaningful anyway)
         and edges.schema[src].dataType == edges.schema[dst].dataType
     ):
-        # probe at most threshold+1 rows — never a full count of a
-        # 100-TB edge relation just to decide the gate. The same bounded
-        # scan counts NULL endpoints, so the small path's separate null
-        # probe (a second full derivation of the edge frame = one extra
-        # Spark job per closure call) is answered for free.
-        both = F.col(src).isNotNull() & F.col(dst).isNotNull()
-        row = (
-            edges.limit(small_graph_threshold + 1)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(~both, F.lit(1))).alias("n_bad"),
-            )
-            .first()
-        )
-        if row["n"] <= small_graph_threshold:
-            return _small_graph_tc(edges, src, dst, has_nulls=bool(row["n_bad"]))
+        # the gate IS the data: collect at most threshold+1 rows (bounded —
+        # never a full materialization of a 100-TB edge relation) and, when
+        # the graph fits, close it driver-side in one Spark job total. The
+        # former shape spent three jobs (count probe, null probe, single
+        # task mapInPandas), each re-deriving the edge frame. Same
+        # size-gated local pattern as the engine's <=100k local fixpoint.
+        rows = edges.select(F.col(src), F.col(dst)).limit(small_graph_threshold + 1).collect()
+        if len(rows) <= small_graph_threshold:
+            local = _local_tc(edges.sparkSession, rows, edges.schema[src].dataType, src, dst)
+            if local is not None:
+                return local
     tc = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .dropDuplicates()
@@ -122,79 +117,73 @@ def transitive_closure(
     return tc.select(F.col("a").alias(src), F.col("b").alias(dst))
 
 
-def _small_graph_tc(
-    edges: DataFrame, src: str, dst: str, has_nulls: bool | None = None
-) -> DataFrame:
-    """Single-task closure for broadcast-scale graphs (BFS per source).
-    ``has_nulls``: pass the caller's probe answer when it already scanned
-    every edge (the small-graph gate does) so no second probe job runs.
+# driver-memory guard for the local path: closure OUTPUT is worst-case
+# quadratic in nodes, so a gate-collected 10k-edge chain can still close to
+# tens of millions of pairs; past this bound the caller falls back to the
+# distributed doubling path instead of shipping a giant local relation
+_LOCAL_TC_MAX_PAIRS = 500_000
 
-    NULL endpoints are split off BEFORE the Python task so pandas never sees
-    a null-bearing int column (Arrow would widen it to float64, corrupting
-    the output dtype). The null algebra then mirrors the distributed path's
-    SQL join semantics exactly: a NULL endpoint is carried OUTWARD through
-    compositions whose shared key is non-null — (NULL,y)∘(y,z) = (NULL,z),
-    (w,x)∘(x,NULL) = (w,NULL), and (NULL,y)…(x,NULL) = (NULL,NULL) — but a
-    path never continues THROUGH a NULL (the join key never matches)."""
 
-    def close(parts):
-        import pandas as pd
+def _local_tc(spark, rows, dt, src: str, dst: str) -> DataFrame | None:
+    """Driver-side closure for gate-collected graphs (BFS per source) —
+    the caller already holds every edge (bounded by the small-graph gate's
+    ``limit(threshold+1).collect()``), so closing locally costs ZERO extra
+    Spark jobs and returns a LocalRelation (free to broadcast downstream).
+    Returns ``None`` when the closed pair set exceeds
+    :data:`_LOCAL_TC_MAX_PAIRS` (caller runs the distributed path).
 
-        adj: dict = {}
-        for part in parts:
-            # positional access: src/dst may not be valid Python
-            # identifiers (itertuples would rename them)
-            for a, b in zip(part.iloc[:, 0], part.iloc[:, 1]):
-                adj.setdefault(a, set()).add(b)
-        out_a, out_b = [], []
-        for s in adj:
-            seen: set = set()
-            stack = list(adj[s])
-            while stack:
-                x = stack.pop()
-                if x in seen:
-                    continue
-                seen.add(x)
-                stack.extend(adj.get(x, ()))
-            out_a.extend([s] * len(seen))
-            out_b.extend(seen)
-        yield pd.DataFrame({"a": out_a, "b": out_b})
-
+    The null algebra mirrors the distributed path's SQL join semantics
+    exactly: a NULL endpoint is carried OUTWARD through compositions whose
+    shared key is non-null — (NULL,y)∘(y,z) = (NULL,z), (w,x)∘(x,NULL) =
+    (w,NULL), and (NULL,y)…(x,NULL) = (NULL,NULL) — but a path never
+    continues THROUGH a NULL (the join key never matches)."""
+    adj: dict = {}
+    s_null: set = set()  # y of (NULL, y) edges
+    d_null: set = set()  # x of (x, NULL) edges
+    both_null = False
+    for r in rows:
+        a, b = r[0], r[1]
+        if a is None and b is None:
+            both_null = True
+        elif a is None:
+            s_null.add(b)
+        elif b is None:
+            d_null.add(a)
+        else:
+            adj.setdefault(a, set()).add(b)
+    reach: dict = {}
+    total = 0
+    for s in adj:
+        seen: set = set()
+        stack = list(adj[s])
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(adj.get(x, ()))
+        reach[s] = seen
+        total += len(seen)
+        if total > _LOCAL_TC_MAX_PAIRS:
+            return None
+    data = [(s, x) for s, seen in reach.items() for x in seen]
+    # null extensions (dedup via set; they never overlap the non-null pairs)
+    nulls: set = set()
+    for y in s_null:
+        nulls.add((None, y))
+        for z in reach.get(y, ()):
+            nulls.add((None, z))
+    for x in d_null:
+        nulls.add((x, None))
+    for s, seen in reach.items():
+        if not d_null.isdisjoint(seen):
+            nulls.add((s, None))
+    # (NULL, NULL): any (NULL, w) reach meeting a (w, NULL) edge, or a
+    # literal (NULL, NULL) edge
+    s_targets = set(s_null) | {z for y in s_null for z in reach.get(y, ())}
+    if both_null or (s_targets & d_null):
+        nulls.add((None, None))
     from pyspark.sql.types import StructField, StructType
 
-    dt = edges.schema[src].dataType
-    schema = StructType([StructField("a", dt), StructField("b", dt)])
-    two = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    a_n, b_n = F.col("a").isNotNull(), F.col("b").isNotNull()
-    # common case: no NULL endpoints — one cheap short-circuit probe beats
-    # carrying the 3-join null algebra in every small closure's plan
-    if has_nulls is None:
-        has_nulls = not two.where(~a_n | ~b_n).limit(1).isEmpty()
-    if not has_nulls:
-        return two.coalesce(1).mapInPandas(close, schema=schema).select(
-            F.col("a").alias(src), F.col("b").alias(dst)
-        )
-    closed = two.where(a_n & b_n).coalesce(1).mapInPandas(close, schema=schema)
-    s_null = two.where(~a_n & b_n).dropDuplicates()  # (NULL, y)
-    d_null = two.where(a_n & ~b_n).dropDuplicates()  # (x, NULL)
-    s_ext = s_null.unionByName(
-        s_null.alias("s")
-        .join(closed.alias("c"), F.col("s.b") == F.col("c.a"))
-        .select(F.col("s.a").alias("a"), F.col("c.b").alias("b"))
-    )
-    d_ext = d_null.unionByName(
-        closed.alias("c")
-        .join(d_null.alias("d"), F.col("c.b") == F.col("d.a"))
-        .select(F.col("c.a").alias("a"), F.col("d.b").alias("b"))
-    )
-    # (NULL, NULL): a null-source reach meeting a null-sink edge (s_ext
-    # already contains every (NULL, w) with w reachable, so one join covers
-    # both the direct and the path case), plus literal (NULL, NULL) edges
-    sd = (
-        s_ext.alias("s")
-        .join(d_null.alias("d"), F.col("s.b") == F.col("d.a"))
-        .select(F.col("s.a").alias("a"), F.col("d.b").alias("b"))
-    )
-    both_null = two.where(~a_n & ~b_n)
-    nulls = s_ext.unionByName(d_ext).unionByName(sd).unionByName(both_null).dropDuplicates()
-    return closed.unionByName(nulls).select(F.col("a").alias(src), F.col("b").alias(dst))
+    schema = StructType([StructField(src, dt), StructField(dst, dt)])
+    return spark.createDataFrame(data + list(nulls), schema)
