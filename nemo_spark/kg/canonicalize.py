@@ -299,7 +299,11 @@ def _local_cc(spark, rows, dt) -> DataFrame:
 
     schema = StructType([StructField("node", dt), StructField("component", dt)])
     nodes = list(parent)
-    return spark.createDataFrame([(n, find(n)) for n in nodes], schema)
+    out = spark.createDataFrame([(n, find(n)) for n in nodes], schema)
+    # marker for callers (kg.pipeline stage materialization): the frame is
+    # already driver-local — a localCheckpoint would only re-ship it
+    out._nemo_local = True
+    return out
 
 
 def canonical_map_from_alias_dict(alias_dict: DataFrame, small_graph_threshold: int = 100_000) -> DataFrame:
@@ -314,4 +318,7 @@ def canonical_map_from_alias_dict(alias_dict: DataFrame, small_graph_threshold: 
         F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"),
     )
     cc = connected_components(edges, small_graph_threshold=small_graph_threshold)
-    return cc.select(F.col("node"), F.col("component").alias("canonical_id"))
+    out = cc.select(F.col("node"), F.col("component").alias("canonical_id"))
+    if getattr(cc, "_nemo_local", False):
+        out._nemo_local = True  # projection of a driver-local frame stays local
+    return out

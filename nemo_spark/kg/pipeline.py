@@ -69,7 +69,10 @@ def run_pipeline(
         df = build()
         if checkpoint_store is not None:
             df = checkpoint_store.snapshot(name, df, step)
-        elif materialize:
+        elif materialize and not getattr(df, "_nemo_local", False):
+            # _nemo_local frames (driver-computed small CC/TC results) are
+            # LocalRelations: already materialized, free to broadcast —
+            # a localCheckpoint would only re-ship them as one more job
             df = df.localCheckpoint(eager=True)
         metrics[name] = {"wall_sec": time.time() - t0}
         return df
@@ -134,7 +137,13 @@ def run_pipeline(
             # reading the snapshot beats re-extracting.
             from nemo_spark.kg.extract import extract_alias_triples_arrow
 
-            alias_triples = extract_alias_triples_arrow(transcripts).dropDuplicates()
+            # no alias-level dropDuplicates here: the extractor already
+            # returns per-batch-distinct rows (bounded at O(distinct per
+            # batch)), the canonical mapping is a broadcast join (no
+            # shuffle), and the post-join dropDuplicates below is the one
+            # real exchange — a second pre-join distinct would only add a
+            # full shuffle stage for rows the final dedup removes anyway
+            alias_triples = extract_alias_triples_arrow(transcripts)
         else:
             alias_triples = triples_raw.select("subj_alias", "pred", "obj_alias").dropDuplicates()
         out = (

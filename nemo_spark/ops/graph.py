@@ -186,4 +186,8 @@ def _local_tc(spark, rows, dt, src: str, dst: str) -> DataFrame | None:
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType([StructField(src, dt), StructField(dst, dt)])
-    return spark.createDataFrame(data + list(nulls), schema)
+    out = spark.createDataFrame(data + list(nulls), schema)
+    # marker for callers (kg.pipeline stage materialization): the frame is
+    # already driver-local — a localCheckpoint would only re-ship it
+    out._nemo_local = True
+    return out
