@@ -299,7 +299,10 @@ def _local_cc(spark, rows, dt) -> DataFrame:
 
     schema = StructType([StructField("node", dt), StructField("component", dt)])
     nodes = list(parent)
-    out = spark.createDataFrame([(n, find(n)) for n in nodes], schema)
+    # coalesce(1): createDataFrame parallelizes into defaultParallelism
+    # slices, so every downstream job over this dimension-sized result
+    # would schedule ~cores near-empty tasks
+    out = spark.createDataFrame([(n, find(n)) for n in nodes], schema).coalesce(1)
     # marker for callers (kg.pipeline stage materialization): the frame is
     # already driver-local — a localCheckpoint would only re-ship it
     out._nemo_local = True

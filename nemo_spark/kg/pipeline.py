@@ -177,7 +177,11 @@ def run_pipeline(
             out = part if out is None else out.unionByName(part)
         if out is None:
             return triples.limit(0)
-        return out.dropDuplicates()
+        # no dropDuplicates: transitive_closure returns a distinct pair set
+        # on both of its paths, and the per-pred parts are disjoint (each
+        # carries its own pred literal), so the union is already a set —
+        # the former dedup was a full extra shuffle stage for nothing
+        return out
 
     closure = stage("closure", build_closure, 1)
 

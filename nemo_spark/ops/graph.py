@@ -186,7 +186,10 @@ def _local_tc(spark, rows, dt, src: str, dst: str) -> DataFrame | None:
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType([StructField(src, dt), StructField(dst, dt)])
-    out = spark.createDataFrame(data + list(nulls), schema)
+    # coalesce(1): createDataFrame parallelizes into defaultParallelism
+    # slices, so every downstream job over this dimension-sized result
+    # would schedule ~cores near-empty tasks
+    out = spark.createDataFrame(data + list(nulls), schema).coalesce(1)
     # marker for callers (kg.pipeline stage materialization): the frame is
     # already driver-local — a localCheckpoint would only re-ship it
     out._nemo_local = True

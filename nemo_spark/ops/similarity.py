@@ -163,6 +163,14 @@ def embedding_near_dups(
     ``exact=True``: all-pairs quadratic path (only for dimension-sized or
     per-bucket candidate sets — this is the correctness oracle, not the
     100-TB plan)."""
+    if not exact:
+        # the banded signature is n_bands*band_planes interpreted dot
+        # products of dim components PER ROW — the heaviest per-row math in
+        # this module; spread a single-split source across the cores
+        # (gated: no-op when the scan already has >= cores splits)
+        from nemo_spark.session import fan_out
+
+        embeddings = fan_out(embeddings)
     # the exact path is dim-agnostic (pure pairwise cosine) — only the LSH
     # branch projects onto dim-sized planes and needs the guard
     src = embeddings.select(
@@ -210,6 +218,9 @@ def embedding_near_dups(
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH bucket id per row (deterministic integer-hash
     planes — reproducible by an external SQL oracle, see plane_component)."""
+    from nemo_spark.session import fan_out
+
+    embeddings = fan_out(embeddings)  # n_planes interpreted dots per row
     checked = _dim_checked(F.col(vec_col), dim)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
