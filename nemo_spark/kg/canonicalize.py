@@ -299,10 +299,13 @@ def _local_cc(spark, rows, dt) -> DataFrame:
 
     schema = StructType([StructField("node", dt), StructField("component", dt)])
     nodes = list(parent)
-    # coalesce(1): createDataFrame parallelizes into defaultParallelism
-    # slices, so every downstream job over this dimension-sized result
-    # would schedule ~cores near-empty tasks
-    out = spark.createDataFrame([(n, find(n)) for n in nodes], schema).coalesce(1)
+    # ONE parallelize slice: the default (defaultParallelism slices) makes
+    # every downstream job schedule ~cores near-empty tasks, and a
+    # coalesce(1) on top is far worse — the single task then fetches each
+    # pickled slice from the driver serially (~150 ms per slice measured)
+    out = spark.createDataFrame(
+        spark.sparkContext.parallelize([(n, find(n)) for n in nodes], 1), schema
+    )
     # marker for callers (kg.pipeline stage materialization): the frame is
     # already driver-local — a localCheckpoint would only re-ship it
     out._nemo_local = True

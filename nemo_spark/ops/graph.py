@@ -186,10 +186,14 @@ def _local_tc(spark, rows, dt, src: str, dst: str) -> DataFrame | None:
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType([StructField(src, dt), StructField(dst, dt)])
-    # coalesce(1): createDataFrame parallelizes into defaultParallelism
-    # slices, so every downstream job over this dimension-sized result
-    # would schedule ~cores near-empty tasks
-    out = spark.createDataFrame(data + list(nulls), schema).coalesce(1)
+    # ONE parallelize slice: the default (defaultParallelism slices) makes
+    # every downstream job schedule ~cores near-empty tasks, and a
+    # coalesce(1) on top is far worse — the single task then fetches each
+    # pickled slice from the driver serially (~150 ms per slice, measured
+    # 4.9 s for 32 slices of 625 rows)
+    out = spark.createDataFrame(
+        spark.sparkContext.parallelize(data + list(nulls), 1), schema
+    )
     # marker for callers (kg.pipeline stage materialization): the frame is
     # already driver-local — a localCheckpoint would only re-ship it
     out._nemo_local = True
