@@ -80,6 +80,13 @@ def fan_out(df, min_parallelism: int | None = None):
     RepartitionOperation; verified in the scan's PushedFilters)."""
     spark = df.sparkSession
     p = min_parallelism or spark.sparkContext.defaultParallelism
+    # only gate NARROW plans (scan/map chains): on a frame with an upstream
+    # exchange, materializing .rdd to read its partition count EXECUTES the
+    # shuffle stages as their own job under AQE (measured: a groupBy
+    # frame's getNumPartitions ran the full stage), and post-shuffle width
+    # is governed by spark.sql.shuffle.partitions / AQE anyway
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        return df
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
