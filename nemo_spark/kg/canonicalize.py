@@ -47,9 +47,10 @@ def connected_components(
 
     ``small_graph_threshold`` > 0 enables a size-adaptive fast path: when the
     edge list is below the threshold (dimension-sized graphs, e.g. an alias
-    dictionary), run single-task union-find via ``mapPartitions`` — one Spark
-    job instead of O(diameter) shuffle rounds. Output is identical (min node
-    id per component).
+    dictionary), collect the gate's bounded scan and union-find driver-side
+    — one Spark job instead of O(diameter) shuffle rounds, and the result
+    is a local relation that is free to broadcast. Output is identical
+    (min node id per component).
 
     ``method='auto'`` (default) picks the alternating-star algorithm for
     anything above the small-graph threshold: O(log n) rounds regardless of

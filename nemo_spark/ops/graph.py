@@ -39,15 +39,17 @@ def transitive_closure(
     """All (src, dst) pairs reachable via 1+ edges. Columns preserved.
 
     ``small_graph_threshold`` > 0 (default 10k edges): dimension-sized edge
-    lists close on a single task (one job) instead of O(log d) distributed
-    rounds — same output; data-sized inputs take the distributed doubling
-    path automatically. The default is deliberately smaller than the CC
-    threshold: closure OUTPUT is worst-case quadratic in nodes (a 100k-node
-    chain closes to 5x10^9 pairs), so the single-task path must stay bounded;
-    CC output is linear in nodes, so its threshold can be 10x higher."""
+    lists close driver-side off the gate's bounded collect (one job)
+    instead of O(log d) distributed rounds — same output; data-sized inputs
+    take the distributed doubling path automatically. The default is
+    deliberately smaller than the CC threshold: closure OUTPUT is
+    worst-case quadratic in nodes (a 100k-node chain closes to 5x10^9
+    pairs), so the local path is additionally bounded by
+    :data:`_LOCAL_TC_MAX_PAIRS`; CC output is linear in nodes, so its
+    threshold can be 10x higher."""
     if (
         small_graph_threshold
-        # the single-task path types its output columns from src's type
+        # the local path types its output columns from src's type
         # (closure composes dst back into src positions, so the types must
         # agree for the operation to be meaningful anyway)
         and edges.schema[src].dataType == edges.schema[dst].dataType
