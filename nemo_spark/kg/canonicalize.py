@@ -93,9 +93,14 @@ def connected_components(
         # former shape spent three jobs — count probe, null probe, single-
         # task mapInPandas — each re-deriving the edge frame. Same size-
         # gated local pattern as the engine's <=100k local fixpoint; the
-        # LocalRelation result is free to broadcast downstream.
+        # single-slice driver-local result is cheap to broadcast downstream.
         rows = edges.select(F.col(src), F.col(dst)).limit(small_graph_threshold + 1).collect()
-        if len(rows) <= small_graph_threshold:
+        if len(rows) <= small_graph_threshold and not any(
+            isinstance(v, float) and v != v for r in rows for v in (r[0], r[1])
+        ):
+            # (NaN node ids fall through to the distributed path: Python's
+            # nan != nan breaks dict-keyed union-find and diverges from
+            # SQL's NaN = NaN join equality)
             return _local_cc(edges.sparkSession, rows, edges.schema[src].dataType)
     if nullable and not edges.where(~both).limit(1).isEmpty():
         half = (
@@ -272,7 +277,8 @@ def _star_cc(
 def _local_cc(spark, rows, dt) -> DataFrame:
     """Driver-side union-find for gate-collected graphs — the caller already
     holds every edge (bounded by ``limit(threshold+1).collect()``), so this
-    costs zero extra Spark jobs and returns a LocalRelation. NULL handling
+    costs zero extra Spark jobs and returns a single-slice driver-local
+    frame (session.single_slice_frame). NULL handling
     matches the distributed path's normalization: a half-NULL edge registers
     its non-null node as isolated, a both-NULL edge drops."""
     parent: dict = {}
@@ -298,19 +304,11 @@ def _local_cc(spark, rows, dt) -> DataFrame:
             parent[rb] = ra
     from pyspark.sql.types import StructField, StructType
 
+    from nemo_spark.session import single_slice_frame
+
     schema = StructType([StructField("node", dt), StructField("component", dt)])
     nodes = list(parent)
-    # ONE parallelize slice: the default (defaultParallelism slices) makes
-    # every downstream job schedule ~cores near-empty tasks, and a
-    # coalesce(1) on top is far worse — the single task then fetches each
-    # pickled slice from the driver serially (~150 ms per slice measured)
-    out = spark.createDataFrame(
-        spark.sparkContext.parallelize([(n, find(n)) for n in nodes], 1), schema
-    )
-    # marker for callers (kg.pipeline stage materialization): the frame is
-    # already driver-local — a localCheckpoint would only re-ship it
-    out._nemo_local = True
-    return out
+    return single_slice_frame(spark, [(n, find(n)) for n in nodes], schema)
 
 
 def canonical_map_from_alias_dict(alias_dict: DataFrame, small_graph_threshold: int = 100_000) -> DataFrame:

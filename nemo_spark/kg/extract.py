@@ -289,8 +289,10 @@ def extract_alias_triples_arrow(transcripts: DataFrame) -> DataFrame:
     after).
 
     Identical triple semantics to :func:`extract_turn_features_arrow`'s
-    triple columns (same ``ARROW_TRIPLE_RE``, same RE2 engine), minus the
-    per-turn feature columns and minus the no-match rows (the downstream
+    triple columns (same UNANCHORED ``NAMED_MENTION_RE`` — first match
+    ANYWHERE in the turn, same RE2 engine; the ^-anchored variant would
+    silently drop every mid-text relation sentence), minus the per-turn
+    feature columns and minus the no-match rows (the downstream
     inner joins drop those anyway). Two scale effects: the Python->JVM
     return shrinks from O(turns) to O(distinct triples per batch) — the
     UDF analogue of partial aggregation — and the single-column projection
@@ -302,7 +304,7 @@ def extract_alias_triples_arrow(transcripts: DataFrame) -> DataFrame:
 
     def extract(batches):
         for batch in batches:
-            hits = pc.extract_regex(batch.column("text"), pattern=ARROW_TRIPLE_RE)
+            hits = pc.extract_regex(batch.column("text"), pattern=NAMED_MENTION_RE)
             tbl = (
                 pa.table(
                     {

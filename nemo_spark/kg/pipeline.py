@@ -71,7 +71,7 @@ def run_pipeline(
             df = checkpoint_store.snapshot(name, df, step)
         elif materialize and not getattr(df, "_nemo_local", False):
             # _nemo_local frames (driver-computed small CC/TC results) are
-            # LocalRelations: already materialized, free to broadcast —
+            # single-slice driver-held frames: already materialized, cheap to broadcast —
             # a localCheckpoint would only re-ship them as one more job
             df = df.localCheckpoint(eager=True)
         metrics[name] = {"wall_sec": time.time() - t0}
@@ -164,7 +164,10 @@ def run_pipeline(
         from nemo_spark.ops.graph import transitive_closure
 
         out = None
-        for pred in transitive_preds:
+        # dedupe preds: a repeated predicate would union identical closure
+        # parts, and (with the per-part sets now relied on for distinctness)
+        # duplicate rows would survive to the output
+        for pred in dict.fromkeys(transitive_preds):
             edges = triples.filter(F.col("pred") == pred).select(
                 F.col("subj").alias("src"), F.col("obj").alias("dst")
             )

@@ -130,7 +130,8 @@ def _local_tc(spark, rows, dt, src: str, dst: str) -> DataFrame | None:
     """Driver-side closure for gate-collected graphs (BFS per source) —
     the caller already holds every edge (bounded by the small-graph gate's
     ``limit(threshold+1).collect()``), so closing locally costs ZERO extra
-    Spark jobs and returns a LocalRelation (free to broadcast downstream).
+    Spark jobs and returns a single-slice driver-local frame (cheap to
+    broadcast downstream).
     Returns ``None`` when the closed pair set exceeds
     :data:`_LOCAL_TC_MAX_PAIRS` (caller runs the distributed path).
 
@@ -139,6 +140,11 @@ def _local_tc(spark, rows, dt, src: str, dst: str) -> DataFrame | None:
     shared key is non-null — (NULL,y)∘(y,z) = (NULL,z), (w,x)∘(x,NULL) =
     (w,NULL), and (NULL,y)…(x,NULL) = (NULL,NULL) — but a path never
     continues THROUGH a NULL (the join key never matches)."""
+    if any(isinstance(v, float) and v != v for r in rows for v in (r[0], r[1])):
+        # NaN node ids: Python's nan != nan breaks dict/set composition and
+        # diverges from SQL's NaN = NaN join equality — let the distributed
+        # path compare in SQL
+        return None
     adj: dict = {}
     s_null: set = set()  # y of (NULL, y) edges
     d_null: set = set()  # x of (x, NULL) edges
@@ -187,16 +193,7 @@ def _local_tc(spark, rows, dt, src: str, dst: str) -> DataFrame | None:
         nulls.add((None, None))
     from pyspark.sql.types import StructField, StructType
 
+    from nemo_spark.session import single_slice_frame
+
     schema = StructType([StructField(src, dt), StructField(dst, dt)])
-    # ONE parallelize slice: the default (defaultParallelism slices) makes
-    # every downstream job schedule ~cores near-empty tasks, and a
-    # coalesce(1) on top is far worse — the single task then fetches each
-    # pickled slice from the driver serially (~150 ms per slice, measured
-    # 4.9 s for 32 slices of 625 rows)
-    out = spark.createDataFrame(
-        spark.sparkContext.parallelize(data + list(nulls), 1), schema
-    )
-    # marker for callers (kg.pipeline stage materialization): the frame is
-    # already driver-local — a localCheckpoint would only re-ship it
-    out._nemo_local = True
-    return out
+    return single_slice_frame(spark, data + list(nulls), schema)

@@ -92,6 +92,21 @@ def fan_out(df, min_parallelism: int | None = None):
     return df
 
 
+def single_slice_frame(spark, rows, schema):
+    """Driver-held rows as a ONE-slice frame, tagged ``_nemo_local``.
+
+    PySpark's createDataFrame always routes local data through
+    ``parallelize`` (there is no true Catalyst LocalRelation from Python),
+    so the cheapest downstream shape is a single pickled slice: one task
+    per job and no per-slice driver round-trips (the default
+    defaultParallelism slices cost ~150 ms EACH to fetch when coalesced).
+    The ``_nemo_local`` tag tells pipeline-stage materialization that a
+    localCheckpoint would only re-ship data the driver already holds."""
+    out = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    out._nemo_local = True
+    return out
+
+
 def _parallelism_of(master: str) -> int:
     if master.startswith("local["):
         inner = master[len("local[") : -1]

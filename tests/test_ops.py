@@ -504,6 +504,9 @@ def test_alias_triples_extractor_matches_feature_extractor(spark):
             ("e", 2, None),
             ("e", 3, ""),
             ("e", 4, "entity_1 works_at ent-2 . filler"),  # duplicate triple
+            # MID-TEXT relation: both extractors search anywhere (unanchored
+            # NAMED_MENTION_RE); a ^-anchored fast path would drop this row
+            ("e", 5, "note: E.7 part_of ent-9 . trailing"),
         ],
         "conv_id string, turn_idx int, text string",
     )
@@ -516,6 +519,27 @@ def test_alias_triples_extractor_matches_feature_extractor(spark):
             .dropDuplicates()
         )
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_cc_nan_endpoints_use_sql_semantics(spark):
+    """NaN node ids must not hang the driver-local union-find (Python's
+    nan != nan breaks dict-keyed find) and must keep SQL semantics, where
+    NaN = NaN: the small gate falls through to the distributed path."""
+    import math
+
+    from nemo_spark.kg.canonicalize import connected_components
+
+    nan = float("nan")
+    edges = spark.createDataFrame(
+        [(nan, 1.0), (nan, 2.0), (5.0, 6.0)], "src double, dst double"
+    )
+    out = {
+        (None if r.node is None else ("nan" if math.isnan(r.node) else r.node)): r.component
+        for r in connected_components(edges).collect()
+    }
+    # 1 and 2 connect THROUGH the shared NaN node (SQL NaN = NaN)
+    assert out[1.0] == out[2.0] == out["nan"] == 1.0
+    assert out[5.0] == out[6.0] == 5.0
 
 
 def test_jaccard_verify_empty_shingles(spark):
